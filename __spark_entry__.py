@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship: driver documents → deterministic web-page
+wrap → full mapInPandas extraction pipeline → status/lang summary.
+
+``queries()``     — one entry per implemented operator (SURVEY.md §2 plus
+the training-data-pipeline operators); each callable (spark, sf_dir) →
+DataFrame with column names matching the paired oracle exactly.
+
+``oracle_sql()``  — DuckDB-runnable ANSI SQL equivalents. Queries without
+an entry here are genuinely non-SQL-expressible (driver records the weaker
+rows-only check).
 """
 
 from __future__ import annotations
@@ -12,27 +17,98 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_documents(webify_documents(docs))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: full pipeline then the summary aggregate
+    (certificate_ocr.py:461-463 analog widened per SURVEY.md §7.3)."""
+    extracted = _flagship(spark, SF0001)
+    return (
+        extracted.groupBy("status", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.round(F.avg("ocr_confidence"), 4).alias("avg_conf"))
+    )
+
+
+# ------------------------------------------------------------------ queries
+def _extract_pipeline_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked FULL pipeline: the DuckDB side reproduces the
+    deterministic 12-word line chunking with a regex, so md5(ocr_text) is a
+    true byte-identity check of html-wrap → parse → boilerplate strip →
+    line join, per url."""
+    return _flagship(spark, sf_dir).select(
+        "url", "status", F.md5("ocr_text").alias("text_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+def _extract_pipeline_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full field extraction output (kernel semantics are pinned
+    by the pytest golden suite, not SQL-expressible)."""
+    return _flagship(spark, sf_dir).select(
+        "url", "status", "competition_name", "award_level", "project_name",
+        F.concat_ws("|", "winner").alias("winners"),
+        F.concat_ws("|", "teacher").alias("teachers"),
+        "ocr_confidence",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_award_extractor_spark.operators import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(relational.QUERIES)
+    q["extract_pipeline_text"] = _extract_pipeline_text
+    q["extract_pipeline_fields"] = _extract_pipeline_fields
+    try:
+        from ocr_award_extractor_spark.operators import dedup, similarity, textstats
+
+        q.update(dedup.QUERIES)
+        q.update(similarity.QUERIES)
+        q.update(textstats.QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from ocr_award_extractor_spark.operators import relational
+
+    o: dict[str, str] = {}
+    o.update(relational.ORACLES)
+    # full-pipeline text byte-identity: regex-chunk text into 12-word lines
+    # (trailing 1-char runt merges into the previous line), construct the
+    # same url, compare md5 of the newline-joined result.
+    o["extract_pipeline_text"] = r"""
+        SELECT 'https://' || source || '.example/' || lang || '/doc'
+                 || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
+               'success' AS status,
+               md5(regexp_replace(
+                     regexp_replace(text, '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'),
+                     chr(10) || '(.)$', ' \1')) AS text_md5,
+               CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT)
+                 - CAST(len(string_split(text, ' ')) % 12 = 1
+                        AND len(string_split(text, ' ')[-1]) < 2 AS BIGINT) AS n_lines
+        FROM documents
     """
-    return {}
+    try:
+        from ocr_award_extractor_spark.operators import dedup, similarity, textstats
+
+        o.update(dedup.ORACLES)
+        o.update(similarity.ORACLES)
+        o.update(textstats.ORACLES)
+    except ImportError:
+        pass
+    return o

@@ -1,0 +1,54 @@
+"""SparkSession construction + job configuration.
+
+One place to encode the scale-sensitive settings so every entry point
+(tests, bench, driver contract) runs the same way:
+
+* AQE on — runtime coalescing/skew handling for the relational operators.
+* Arrow on, with a LOW ``maxRecordsPerBatch``: the ``html`` column is
+  MBs/row at Common-Crawl scale, so Arrow batches must be bounded by rows,
+  not left at the 10k default (SURVEY.md §7.4 trap 3).
+* ``files.maxPartitionBytes`` kept moderate so scan splits stay balanced
+  when rows are fat.
+
+On a real cluster the same builder is used by ``spark-submit --py-files``;
+only ``master`` changes. Iceberg catalog configs would be added here (the
+sandbox has no Iceberg jars — parquet + lineage-dataset fallback is the
+live path, see plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+SALT_SEED = 1315423911  # fixed salt for the skew-defusing repartition
+
+DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    "spark.sql.files.maxPartitionBytes": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(app_name: str = "ocr-award-extractor-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    )
+    if extra:
+        conf.update(extra)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,253 @@
+"""HTML → main-content text lines (boilerplate strip), pure Python.
+
+This is the web-text analog of the reference's image→text stage
+(certificate_ocr.py:85-149): decode the raw document payload, run TWO
+recognition strategies, pick the one that recovers more text (first wins on
+ties — certificate_ocr.py:131), and emit kept lines + per-line confidences.
+
+Strategy analog map (reference → here):
+
+* ``cv2.imread`` returning None → undecodable/empty payload ⇒ caller emits a
+  ``status='error'`` row, never an exception (certificate_ocr.py:100-105).
+* raw-image OCR (strategy 1) → STRICT pass: strict UTF-8 decode + segment
+  extraction with tight link-density thresholds.
+* ``enhance_image`` + OCR (strategy 2, certificate_ocr.py:59-83,:116-117)
+  → REPAIR pass: tolerant decode (errors='replace'), control-char strip,
+  same segmenter. It only beats the strict pass when strict recovery fails
+  or is partial — mirroring "enhancement helps only when raw OCR fails".
+* pick-best ``max(results, key=total text)`` with first-wins ties
+  (certificate_ocr.py:131) → :func:`extract_page` scores by summed kept-line
+  length; the strict pass is listed first so it wins ties.
+* per-word OCR confidence (certificate_ocr.py:139-143) → deterministic
+  per-line confidence from block link-density + length (formula below).
+
+Boilerplate strip is Readability/trafilatura-style but written from
+scratch: the document is cut into text *segments* at block-tag boundaries
+(document order preserved), each segment tracks total vs anchor-text
+characters, and a segment is kept iff it is not inside a killed container
+(script/style/nav/footer/… tags, or class/id matching a boilerplate
+pattern, or display:none) and its link density is below threshold.
+
+Scale note: this runs inside mapInPandas Arrow batches on executors —
+stdlib-only by design (the container has no lxml/selectolax); the parser
+backend is a single function (:func:`segment_html`) so a faster native
+backend is a drop-in swap on a real cluster.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Containers whose entire subtree is never content.
+KILL_TAGS = frozenset(
+    "script style noscript template head title svg math iframe object embed "
+    "form button select option textarea nav footer header aside menu dialog".split()
+)
+# Tags that delimit text segments (line boundaries).
+BLOCK_TAGS = frozenset(
+    "p div article section main li ul ol h1 h2 h3 h4 h5 h6 td th tr table "
+    "thead tbody blockquote pre figcaption dd dt dl br hr body".split()
+)
+# void elements that never produce endtags we need to balance
+_BOILER_ATTR = re.compile(
+    r"(?:^|[\s_-])(?:nav|menu|footer|header|sidebar|sitemap|comment|comments|"
+    r"ad|ads|advert|banner|breadcrumb|breadcrumbs|related|share|social|promo|"
+    r"widget|cookie|copyright|disclaimer)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+_DISPLAY_NONE = re.compile(r"display\s*:\s*none", re.IGNORECASE)
+_WS_RUN = re.compile(r"\s+")
+_CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f�]")
+
+STRICT_LINK_DENSITY = 0.35
+MIN_SEGMENT_CHARS = 2
+
+
+@dataclass
+class Segment:
+    """One contiguous text run between block boundaries."""
+
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    killed: bool = False
+
+    def text(self) -> str:
+        return _WS_RUN.sub(" ", "".join(self.parts)).strip()
+
+
+class _Segmenter(HTMLParser):
+    """Event-driven segment collector; tolerant of unbalanced markup."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.segments: list[Segment] = []
+        self._cur = Segment()
+        self._kill_depth = 0          # inside KILL_TAGS subtree
+        self._boiler_depth = 0        # inside class/id-flagged boilerplate
+        self._a_depth = 0
+        self._kill_stack: list[str] = []
+        self._boiler_stack: list[str] = []
+
+    # -- segment plumbing ---------------------------------------------------
+    def _flush(self) -> None:
+        if self._cur.parts:
+            self.segments.append(self._cur)
+        self._cur = Segment(killed=self._suppressed())
+
+    def _suppressed(self) -> bool:
+        return self._kill_depth > 0 or self._boiler_depth > 0
+
+    @staticmethod
+    def _is_boiler_attrs(attrs) -> bool:
+        for name, value in attrs:
+            if value is None:
+                continue
+            if name in ("class", "id") and _BOILER_ATTR.search(value):
+                return True
+            if name == "style" and _DISPLAY_NONE.search(value):
+                return True
+        return False
+
+    # -- parser events ------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if tag in KILL_TAGS:
+            self._flush()
+            if tag != "br" and tag != "hr":
+                self._kill_depth += 1
+                self._kill_stack.append(tag)
+            return
+        boiler = self._is_boiler_attrs(attrs)
+        if tag in BLOCK_TAGS or boiler:
+            self._flush()
+        if boiler:
+            self._boiler_depth += 1
+            self._boiler_stack.append(tag)
+        if tag == "a":
+            self._a_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in BLOCK_TAGS:  # <br/>, <hr/>
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in KILL_TAGS:
+            self._flush()
+            if self._kill_stack and tag in self._kill_stack:
+                # pop up to and including the matching open (tolerates nesting)
+                while self._kill_stack:
+                    popped = self._kill_stack.pop()
+                    self._kill_depth -= 1
+                    if popped == tag:
+                        break
+            return
+        if self._boiler_stack and tag == self._boiler_stack[-1]:
+            self._flush()
+            self._boiler_stack.pop()
+            self._boiler_depth -= 1
+        elif tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self._a_depth > 0:
+            self._a_depth -= 1
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if self._suppressed():
+            self._cur.killed = True
+            return
+        self._cur.parts.append(data)
+        if self._a_depth > 0:
+            self._cur.link_chars += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def segment_html(html_str: str) -> list[Segment]:
+    """Parse HTML into document-order text segments. Never raises on
+    malformed markup (HTMLParser is tolerant by construction)."""
+    seg = _Segmenter()
+    try:
+        seg.feed(html_str)
+        seg.close()
+    except Exception:  # pragma: no cover — stdlib parser is non-raising
+        pass
+    return [s for s in seg.segments if not s.killed]
+
+
+def line_confidence(text_len: int, link_density: float, repaired: bool) -> float:
+    """Deterministic per-line confidence in [0, 1]:
+    (1 - link_density) * min(1, 0.5 + len/80), ×0.9 on the repair pass."""
+    conf = (1.0 - link_density) * min(1.0, 0.5 + text_len / 80.0)
+    if repaired:
+        conf *= 0.9
+    return max(0.0, min(1.0, conf))
+
+
+def _segments_to_lines(segments: list[Segment], repaired: bool):
+    lines: list[str] = []
+    confs: list[float] = []
+    for seg in segments:
+        text = seg.text()
+        if len(text) < MIN_SEGMENT_CHARS:
+            continue
+        total = sum(len(p) for p in seg.parts)
+        density = (seg.link_chars / total) if total else 1.0
+        if density > STRICT_LINK_DENSITY:
+            continue
+        lines.append(text)
+        confs.append(line_confidence(len(text), density, repaired))
+    return lines, confs
+
+
+def strict_pass(html_bytes: bytes):
+    """Strategy 1: strict UTF-8 decode; None if the payload is not valid
+    UTF-8 (the repair pass then gets its chance)."""
+    try:
+        html_str = html_bytes.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        return None
+    return _segments_to_lines(segment_html(html_str), repaired=False)
+
+
+def repair_pass(html_bytes: bytes):
+    """Strategy 2 (the ``enhance_image`` analog): tolerant decode + control
+    character strip, then the same segmenter."""
+    html_str = html_bytes.decode("utf-8", errors="replace")
+    html_str = _CTRL.sub("", html_str)
+    return _segments_to_lines(segment_html(html_str), repaired=True)
+
+
+def extract_page(html_bytes) -> dict:
+    """Full page→lines stage with the reference's error contract.
+
+    Returns a dict with keys: status, message, lines, confs, strategy.
+    ``status='error'`` rows carry a message and empty lines — never raises
+    (certificate_ocr.py:100-105,:122-128 contract).
+    """
+    if html_bytes is None or len(html_bytes) == 0:
+        return {"status": "error", "message": "unreadable document",
+                "lines": [], "confs": [], "strategy": ""}
+    if isinstance(html_bytes, str):
+        html_bytes = html_bytes.encode("utf-8")
+
+    results = []
+    strict = strict_pass(html_bytes)
+    if strict is not None and strict[0]:
+        results.append(("strict", strict))
+    repaired = repair_pass(html_bytes)
+    if repaired[0]:
+        results.append(("repair", repaired))
+
+    if not results:
+        return {"status": "error", "message": "no text extracted",
+                "lines": [], "confs": [], "strategy": ""}
+
+    # pick-best: most recovered text wins, FIRST result wins ties
+    # (max is first-wins, matching certificate_ocr.py:131)
+    name, (lines, confs) = max(results, key=lambda r: sum(len(ln) for ln in r[1][0]))
+    return {"status": "success", "message": "",
+            "lines": lines, "confs": confs, "strategy": name}

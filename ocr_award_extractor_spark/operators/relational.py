@@ -1,0 +1,278 @@
+"""Relational spellings of the reference's operators (SURVEY.md §2), each
+oracle-checked against DuckDB by the driver (queries()/oracle_sql()).
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose column
+NAMES, ORDER and TYPES match the paired oracle SQL exactly (the driver's
+compare hashes values after sorting columns by name). Rules of the road:
+
+* floats only where the operator demands them, always round(…, 4) computed
+  the same way on both sides;
+* Spark int-typed results cast to long (DuckDB counts/lengths are BIGINT);
+* arrays never returned raw — joined to strings with a pinned sort;
+* every tie is broken explicitly (row_number orderings are total).
+
+These run on the driver's TPC-H-ish tables — the content differs from the
+certificate fixture, but the operator SEMANTICS are what the oracle checks
+(the byte-identity path is pytest golden, SURVEY.md §5.2.2/4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------- O23 summary
+def count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-by-group summary (certificate_ocr.py:461-463 analog)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))
+
+
+# ------------------------------------------------------ O2 predicate filter
+def filter_keyword_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time predicate (certificate_ocr.py:419-420 ext-filter analog):
+    regex multi-contains pushed as a filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").rlike("window|stream"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# --------------------------------------- O7 flatten/unnest with blank filter
+def tokens_nonblank_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array flatten + blank drop (certificate_ocr.py:134-143): tokens whose
+    trim is non-empty, counted per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = F.filter(F.split(F.col("text"), " "),
+                    lambda x: F.length(F.trim(x)) > 0)
+    return docs.select(
+        "doc_id", F.size(kept).cast("long").alias("n_tokens")
+    )
+
+
+# ---------------------------------------------------------- O8 scalar avg
+def avg_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + 4-dp round (certificate_ocr.py:146,:162)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+
+
+# ------------------------------------------------------- O9 ordered concat
+def head_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving join of the first 3 tokens (newline-join analog,
+    certificate_ocr.py:149)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)).alias("head3"),
+    )
+
+
+# --------------------------------------------- O12/O6 argmax (top-1) ranking
+def longest_token_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational spelling of the longest-line argmax (certificate_ocr.py
+    :345-346): explicit total-order tie-break (len desc, token asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("tok").desc(), F.col("tok").asc()
+    )
+    return (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "tok", F.length("tok").cast("long").alias("tok_len"))
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick-best top-1 per key (certificate_ocr.py:131 spelled relationally
+    with a pinned tie-break)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ------------------------------------------------------- O14 regex extract
+def extract_prop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-group regex extract (certificate_ocr.py:357-360 analog) over
+    the events JSON props."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).alias("k_str"),
+    )
+
+
+# ----------------------------------------------------- O17 string normalize
+def normalize_ws_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text whitespace collapse (certificate_ocr.py:399) + md5
+    fingerprint of the normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+# ------------------------------------------------- O19 array_distinct (set)
+def distinct_tokens_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spelling of the reference's list(set(...)) dedupe
+    (certificate_ocr.py:305-306): distinct + PINNED sort (the reference's
+    order is hash-seed nondeterministic — documented divergence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(",", toks).alias("toks"),
+        F.size(toks).cast("long").alias("n_distinct"),
+    )
+
+
+# ------------------------------------------------------- TPC-H-ish queries
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial-agg-friendly groupBy over lineitem; at scale
+    this is one shuffle with map-side combine (whole-stage codegen)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_revenue_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-10. customer
+    is small ⇒ broadcast (no shuffle of orders/lineitem for the join key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    joined = (
+        orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLES = {
+    "count_by_lang": """
+        SELECT lang, count(*) AS docs FROM documents GROUP BY lang
+    """,
+    "filter_keyword_docs": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE regexp_matches(text, 'window|stream')
+    """,
+    "tokens_nonblank_count": """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> len(trim(x)) > 0)) AS n_tokens
+        FROM documents
+    """,
+    "avg_chars_by_lang": """
+        SELECT lang, round(avg(n_chars), 4) AS avg_chars, count(*) AS docs
+        FROM documents GROUP BY lang
+    """,
+    "head_tokens": """
+        SELECT doc_id,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS head3
+        FROM documents
+    """,
+    "longest_token_per_doc": """
+        SELECT doc_id, tok, len(tok) AS tok_len FROM (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY len(tok) DESC, tok ASC) AS rn
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE len(tok) > 0
+        ) WHERE rn = 1
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "extract_prop_k": """
+        SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
+        FROM events
+    """,
+    "normalize_ws_fingerprint": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_md5,
+               len(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len
+        FROM documents
+    """,
+    "distinct_tokens_sorted": """
+        SELECT doc_id,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS toks,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_revenue_by_order": """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "count_by_lang": count_by_lang,
+    "filter_keyword_docs": filter_keyword_docs,
+    "tokens_nonblank_count": tokens_nonblank_count,
+    "avg_chars_by_lang": avg_chars_by_lang,
+    "head_tokens": head_tokens,
+    "longest_token_per_doc": longest_token_per_doc,
+    "latest_event_per_user": latest_event_per_user,
+    "extract_prop_k": extract_prop_k,
+    "normalize_ws_fingerprint": normalize_ws_fingerprint,
+    "distinct_tokens_sorted": distinct_tokens_sorted,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_revenue_by_order": q3_revenue_by_order,
+}

@@ -1,0 +1,107 @@
+"""End-to-end Spark tests of the extraction pipeline on the seeded
+web-page fixture: byte-identity vs ground truth, the error-row contract,
+and invariance of results across partition counts (the per-row pipeline
+must not depend on parallelism — SURVEY.md §7.4 trap 7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.operators.extract_pipeline import (
+    award_summary, extract_documents, to_reference_json,
+)
+from ocr_award_extractor_spark.sources.fixture_gen import generate_rows
+from ocr_award_extractor_spark.sources.tables import load_fixture
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    docs = load_fixture(spark, n_docs=N_DOCS)
+    df = extract_documents(docs, salt_partitions=8)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_byte_identical_text_per_url(spark, extracted):
+    """north rule: byte-identical extracted text per url vs ground truth."""
+    truth = load_fixture(spark, n_docs=N_DOCS).select("url", "text")
+    joined = (
+        extracted.where(F.col("status") == "success")
+        .join(truth, "url")
+        .select("url", "ocr_text", "text")
+    )
+    mismatched = joined.where(F.col("ocr_text") != F.col("text")).count()
+    assert mismatched == 0
+    assert joined.count() > 0
+
+
+def test_error_contract(extracted):
+    """Malformed/empty docs come back as error ROWS with null payloads."""
+    meta = {r["url"]: r["_meta"] for r in generate_rows(N_DOCS, with_meta=True)}
+    rows = extracted.collect()
+    assert len(rows) == N_DOCS
+    for row in rows:
+        kind = meta[row["url"]]["kind"]
+        if kind in ("normal", "jumbo"):
+            assert row["status"] == "success"
+            assert row["message"] is None
+            assert row["ocr_text"] == "\n".join(meta[row["url"]]["intended"])
+        if row["status"] == "error":
+            assert row["message"] in ("unreadable document", "no text extracted")
+            assert row["ocr_text"] is None and row["ocr_confidence"] is None
+            assert kind in ("truncated", "empty")
+
+
+def test_fields_match_kernel_on_distractors(extracted):
+    """Non-zh distractor docs must yield completely empty fields."""
+    rows = (
+        extracted.where((F.col("lang") != "zh") & (F.col("status") == "success"))
+        .select("competition_name", "award_level", "project_name", "winner", "teacher")
+        .collect()
+    )
+    assert rows, "fixture must contain distractor docs"
+    for r in rows:
+        assert r["competition_name"] == "" and r["award_level"] == ""
+        assert r["project_name"] == "" and r["winner"] == [] and r["teacher"] == []
+
+
+def test_zh_docs_extract_fields(extracted):
+    """The zh certificate docs must produce non-empty award fields."""
+    got = award_summary(extracted).collect()
+    assert sum(r["docs"] for r in got) > 50
+    for r in got:
+        assert 0.0 < r["avg_conf"] <= 1.0
+
+
+def test_partition_count_invariance(spark, extracted):
+    """Same results at a different parallelism: per-row extraction cannot
+    depend on partitioning (scaling-test precondition)."""
+    docs = load_fixture(spark, n_docs=N_DOCS)
+    again = extract_documents(docs.repartition(1), salt_partitions=2)
+    a = {r["url"]: (r["ocr_text"], r["status"], r["competition_name"],
+                    tuple(r["winner"] or ()))
+         for r in extracted.collect()}
+    b = {r["url"]: (r["ocr_text"], r["status"], r["competition_name"],
+                    tuple(r["winner"] or ()))
+         for r in again.collect()}
+    assert a == b
+
+
+def test_reference_json_shape(extracted):
+    row = (
+        to_reference_json(extracted.where(F.col("status") == "success"))
+        .orderBy("url").limit(1).collect()[0]
+    )
+    import json
+
+    doc = json.loads(row["doc_json"])
+    assert doc["status"] == "success"
+    assert set(doc["certificate_info"]) == {
+        "competition_name", "award_level", "project_name", "people",
+    }
+    assert set(doc["certificate_info"]["people"]) == {"winner", "teacher"}
+    assert doc["image_path"] == row["url"]
