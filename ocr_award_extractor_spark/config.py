@@ -36,10 +36,24 @@ DEFAULTS = {
 }
 
 
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_pythonpath() -> None:
+    """Python workers are forked by the JVM and do NOT inherit the driver's
+    sys.path — make the package importable in workers regardless of cwd
+    (the local-mode analog of ``spark-submit --py-files engine.zip``).
+    Must run before the JVM starts."""
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if _PKG_PARENT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_PKG_PARENT] + [p for p in parts if p])
+
+
 def get_spark(app_name: str = "ocr-award-extractor-spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,
               extra: dict | None = None) -> SparkSession:
+    _ensure_worker_pythonpath()
     builder = SparkSession.builder.appName(app_name)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = builder.master(master or f"local[{cpus}]")

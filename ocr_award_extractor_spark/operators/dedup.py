@@ -1,0 +1,252 @@
+"""Deduplication operators for a training-data pipeline: exact, MinHash
+(+LSH candidate pairs), SimHash, and n-gram Jaccard.
+
+All spelled with built-in DataFrame ops (explode → groupBy with MAP-SIDE
+PARTIAL aggregation — a min/sum per (doc, hash) combines before the
+shuffle, so network volume is O(docs × K), not O(shingles)). Shingle/token
+hashes derive from md5 prefixes so Spark and DuckDB compute the SAME
+integers (Spark conv(hex)=DuckDB '0x'-cast): every oracle is exact, no
+float tolerance anywhere.
+
+At 100 TB: exact dedup is one hash-shuffle on the fingerprint; MinHash is
+scan → explode shingles → partial-min per band key → LSH bucket join where
+only candidate PAIRS shuffle (tiny vs corpus); the band join is the
+classic MinHash-LSH band/bucket scheme (Broder; Leskovec et al. MMDS ch.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.sources.tables import load_table
+
+# MinHash parameters: K hash functions in B bands of R rows (K = B*R)
+MH_K = 16
+MH_B = 4
+MH_R = 4
+MH_P = 4_294_967_311          # prime > 2^32
+_MH_A = [1009 * j + 31 for j in range(MH_K)]
+_MH_B_ = [9176 * j + 907 for j in range(MH_K)]
+
+SH_N = 3                      # shingle width (tokens)
+SIM_BITS = 32                 # SimHash width (md5-prefix-derived)
+
+
+def _md5_int(col):
+    """First 8 hex digits of md5 as a bigint — identical in Spark
+    (conv(…,16,10)) and DuckDB (('0x'||…)::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ----------------------------------------------------------------- exact
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one hash shuffle,
+    keeper = min doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# --------------------------------------------------------------- shingles
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct SH_N-token shingles per doc, with their 32-bit hash."""
+    t = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(t) - (SH_N - 1))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    return (
+        docs.where(F.size(t) >= SH_N)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+        .select("doc_id", _md5_int(F.col("sh")).alias("v"))
+    )
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: K permutation-mins per doc. explode → groupBy
+    with K partial-min aggregates (combines map-side)."""
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    aggs = [
+        F.min((F.lit(_MH_A[j]) * F.col("v") + F.lit(_MH_B_[j])) % F.lit(MH_P)).alias(f"s{j}")
+        for j in range(MH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on ALL R rows of ANY band.
+    Spelled as explode-to-(band, band-key) → self-equi-join on the bucket →
+    distinct pairs; only bucket collisions shuffle."""
+    sig = minhash_signature(spark, sf_dir)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(f"s{b * MH_R + r}") for r in range(MH_R)]).alias("key"),
+        )
+        for b in range(MH_B)
+    ])
+    keyed = sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (occurrence-weighted): per-bit
+    majority vote of token-hash bits, one explode + two-level aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    v = toks.select("doc_id", _md5_int(F.col("tok")).alias("v"))
+    bits = v.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("b"), "v"
+    ).select(
+        "doc_id", "b",
+        F.when(F.expr("(v >> b) & 1") == 1, 1).otherwise(-1).alias("c"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("c").alias("vote"))
+    return (
+        votes.groupBy("doc_id")
+        .agg(F.sum(
+            F.when(F.col("vote") > 0,
+                   F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0))
+        ).alias("simhash"))
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def jaccard_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard for adjacent doc_id pairs (a deterministic,
+    oracle-friendly slice of pairwise near-dup scoring). Exact int counts;
+    the ratio is the same IEEE division on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+               & (F.col("a.tok") == F.col("b.tok")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pairs = sa.join(sb, F.col("sa.doc_id") + 1 == F.col("sb.doc_id")).select(
+        F.col("sa.doc_id").alias("doc_a"),
+        F.col("sa.n").alias("n_a"), F.col("sb.n").alias("n_b"),
+    )
+    out = pairs.join(inter, "doc_a", "left").na.fill({"n_inter": 0})
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return out.select(
+        "doc_a", "n_a", "n_b", F.col("n_inter").cast("long").alias("n_inter"),
+        (F.col("n_inter").cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def _mh_min_sql(j: int) -> str:
+    return f"min(({_MH_A[j]} * v + {_MH_B_[j]}) % {MH_P}) AS s{j}"
+
+
+_SHINGLE_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= {SH_N}
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {SH_N - 2})) AS i) r
+    ), hv AS (
+        SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS v FROM sh
+    )
+"""
+
+_SIG_SQL = (
+    _SHINGLE_CTE
+    + "SELECT doc_id, "
+    + ", ".join(_mh_min_sql(j) for j in range(MH_K))
+    + " FROM hv GROUP BY doc_id"
+)
+
+_BAND_COND = " OR ".join(
+    "(" + " AND ".join(f"a.s{b * MH_R + r} = b.s{b * MH_R + r}" for r in range(MH_R)) + ")"
+    for b in range(MH_B)
+)
+
+ORACLES = {
+    "dedup_exact": r"""
+        SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+               count(*) AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY 1
+    """,
+    "minhash_signature": _SIG_SQL,
+    "minhash_lsh_pairs": f"""
+        WITH sig AS ({_SIG_SQL})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id AND ({_BAND_COND})
+    """,
+    "simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+            FROM documents
+        ), hv AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS v FROM tok
+        ), bits AS (
+            SELECT doc_id, b.b AS b,
+                   CASE WHEN (v >> b.b) & 1 = 1 THEN 1 ELSE -1 END AS c
+            FROM hv, LATERAL (SELECT unnest(range({SIM_BITS})) AS b) b
+        ), votes AS (
+            SELECT doc_id, b, sum(c) AS vote FROM bits GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "jaccard_adjacent_pairs": """
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tok2 AS (
+            SELECT doc_id, tok FROM tok WHERE len(tok) > 0
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, count(*) AS n_inter
+            FROM tok2 a JOIN tok2 b ON a.doc_id + 1 = b.doc_id AND a.tok = b.tok
+            GROUP BY a.doc_id
+        )
+        SELECT sa.doc_id AS doc_a, sa.n AS n_a, sb.n AS n_b,
+               coalesce(i.n_inter, 0) AS n_inter,
+               CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+        FROM sizes sa
+        JOIN sizes sb ON sa.doc_id + 1 = sb.doc_id
+        LEFT JOIN inter i ON i.doc_a = sa.doc_id
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signature": minhash_signature,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash": simhash,
+    "jaccard_adjacent_pairs": jaccard_adjacent_pairs,
+}

@@ -1,0 +1,227 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine scoring / top-k — the correctness baseline;
+* all-pairs near-duplicate detection above a cosine threshold;
+* random-hyperplane LSH bucket assignment — the scale path (bucketed
+  candidate join instead of the O(n²) cross join).
+
+Determinism contract: embeddings are QUANTIZED to int64 (round(x·10⁴))
+before any arithmetic, dot products and norms are exact integer sums, and
+the final cosine is the same IEEE divide/sqrt on both engines — so the
+DuckDB oracles match bit-for-bit, including threshold predicates and
+top-k cut lines (no float tolerance needed anywhere).
+
+Scale notes (100 TB / 10⁹ vectors): the brute-force scorer broadcasts the
+query vector (no shuffle); near-dup pairs must NOT be a cross join at
+scale — use lsh_buckets to bucket vectors, then join within buckets
+(candidates shrink by orders of magnitude; the cross-join spelling here is
+the small-scale oracle baseline the bucketed path is validated against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.sources.tables import load_table
+
+QUANT = 10_000
+DIM = 64
+NEARDUP_THRESHOLD = 0.35
+TOP_K = 10
+
+# deterministic pseudo-random hyperplanes for LSH (shared with the oracle)
+LSH_PLANES = 8
+LSH_WEIGHTS = [
+    [((p * 1009 + d * 917) % 2001) - 1000 for d in range(DIM)]
+    for p in range(LSH_PLANES)
+]
+
+
+def _quant(col):
+    return F.transform(col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("long"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+
+
+def _norm2(a):
+    return _dot(a, a)
+
+
+def _with_query(spark: SparkSession, sf_dir: str, query_vec_id: int = 0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") == query_vec_id)
+        .select(_quant(F.col("embedding")).alias("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            _dot(_quant(F.col("embedding")), F.col("qv")).alias("dot_q"),
+            _norm2(_quant(F.col("embedding"))).alias("n2_self"),
+            _norm2(F.col("qv")).alias("n2_query"),
+        )
+    )
+    cos = F.col("dot_q").cast("double") / F.sqrt(
+        (F.col("n2_self") * F.col("n2_query")).cast("double")
+    )
+    return scored.select("vec_id", "label", "dot_q", cos.alias("cos_sim"))
+
+
+def cosine_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of every vector to the query vector (vec_id=0): broadcast
+    join, zero shuffle, whole-stage-codegen arithmetic."""
+    return _with_query(spark, sf_dir)
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k by cosine (tie-break vec_id asc) — TopK sort over
+    the broadcast-scored scan; Spark plans this as TakeOrderedAndProject
+    (per-partition heap + driver merge), no full sort."""
+    scored = _with_query(spark, sf_dir).where(F.col("vec_id") != 0)
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-dup baseline: pairs with cosine ≥ threshold. The
+    threshold predicate is exact (quantized ints → identical doubles)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    a = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    cos = _dot(F.col("ea"), F.col("eb")).cast("double") / F.sqrt(
+        (_norm2(F.col("ea")) * _norm2(F.col("eb"))).cast("double")
+    )
+    return (
+        pairs.select("va", "vb", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: sign bit per plane → bucket id. At scale,
+    near-dup search joins within (bucket) instead of all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = _quant(F.col("embedding"))
+    bucket = None
+    for p in range(LSH_PLANES):
+        w = F.array(*[F.lit(v).cast("long") for v in LSH_WEIGHTS[p]])
+        bit = F.when(_dot(qe, w) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", "label", bucket.alias("bucket"))
+
+
+def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: near-dup pairs restricted to same-LSH-bucket
+    candidates (recall < 1 by construction; compare with the brute-force
+    baseline via tests/bench). Joins on bucket — shuffle is O(candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    buckets = lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
+    v = emb.join(buckets, "vec_id")
+    a = v.select(F.col("bucket").alias("ka"), F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
+    b = v.select(F.col("bucket").alias("kb"), F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
+    pairs = a.join(b, (F.col("ka") == F.col("kb")) & (F.col("va") < F.col("vb")))
+    cos = _dot(F.col("ea"), F.col("eb")).cast("double") / F.sqrt(
+        (_norm2(F.col("ea")) * _norm2(F.col("eb"))).cast("double")
+    )
+    return (
+        pairs.select("va", "vb", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )
+
+
+# ------------------------------------------------------------------ oracles
+_Q_CTE = f"""
+    WITH qv AS (
+        SELECT list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id = 0
+    ), ev AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+        FROM embeddings
+    ), scored AS (
+        SELECT vec_id, label,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [e[i] * q[i] FOR i IN range(1, {DIM} + 1)]), (a, b) -> a + b) AS dot_q,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [e[i] * e[i] FOR i IN range(1, {DIM} + 1)]), (a, b) -> a + b) AS n2_self,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [q[i] * q[i] FOR i IN range(1, {DIM} + 1)]), (a, b) -> a + b) AS n2_query
+        FROM ev, qv
+    )
+"""
+
+_PAIR_CTE = f"""
+    WITH ev AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [a.e[i] * b.e[i] FOR i IN range(1, {DIM} + 1)]), (x, y) -> x + y) AS dot_ab,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [a.e[i] * a.e[i] FOR i IN range(1, {DIM} + 1)]), (x, y) -> x + y) AS n2_a,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [b.e[i] * b.e[i] FOR i IN range(1, {DIM} + 1)]), (x, y) -> x + y) AS n2_b
+        FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+    )
+"""
+
+
+def _lsh_bit_sql(p: int) -> str:
+    terms = " + ".join(f"e[{d + 1}] * ({LSH_WEIGHTS[p][d]})" for d in range(DIM))
+    return f"CASE WHEN ({terms}) > 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END"
+
+
+ORACLES = {
+    "cosine_to_query": _Q_CTE + """
+        SELECT vec_id, label, dot_q,
+               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self * n2_query AS DOUBLE)) AS cos_sim
+        FROM scored
+    """,
+    "ann_topk_cosine": _Q_CTE + f"""
+        SELECT vec_id, label, dot_q,
+               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self * n2_query AS DOUBLE)) AS cos_sim
+        FROM scored WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+    "embedding_neardup_pairs": _PAIR_CTE + f"""
+        SELECT va, vb,
+               CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) AS cos_sim
+        FROM pairs
+        WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) >= {NEARDUP_THRESHOLD}
+    """,
+    "lsh_buckets": f"""
+        WITH ev AS (
+            SELECT vec_id, label,
+                   list_transform(embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
+        FROM ev
+    """,
+}
+
+QUERIES = {
+    "cosine_to_query": cosine_to_query,
+    "ann_topk_cosine": ann_topk_cosine,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "lsh_buckets": lsh_buckets,
+    "lsh_neardup_pairs": lsh_neardup_pairs,   # rows-only: recall-bounded scale path
+}

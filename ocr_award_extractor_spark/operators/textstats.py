@@ -1,0 +1,183 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are relational spellings over built-in (JVM/codegen) functions — no
+Python UDFs in these paths — and each is oracle-checked against DuckDB.
+Determinism rules (shared with dedup/similarity): integer arithmetic
+everywhere; any double is derived from exact integers by the same IEEE op
+sequence on both engines, so value hashes match bit-for-bit.
+
+Scale notes: every query here is one scan + one (or zero) shuffle with
+map-side partial aggregation; token explodes happen AFTER column pruning so
+only (doc_id, text) flows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.sources.tables import load_table
+
+# BPE-ish word/number/punct tokenizer (shared literal with the oracles)
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9_ ]"
+PUNCT_RE = "[^a-zA-Z0-9_ ]"
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "over"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "das", "und", "mit"),
+    "es": ("el", "los", "y", "con", "para"),
+}
+
+# polynomial rolling-hash parameters (document fingerprint)
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex tokens
+    (word / number / punctuation pieces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token count, total/mean token length,
+    stopword hits and ratio, punctuation count. Ratios are doubles divided
+    from exact ints — bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+    n_tok = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    ).cast("long")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        sum_len.alias("sum_token_len"),
+        (sum_len.cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+        stop_hits.alias("stop_hits"),
+        (stop_hits.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        punct.alias("n_punct"),
+    )
+
+
+def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free heuristic language ID: stopword votes per language with
+    a pinned priority order (en > fr > de > es) on ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    def _hit_counter(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    hits = {lg: _hit_counter(words) for lg, words in STOPWORDS.items()}
+    guessed = (
+        F.when((hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]), "en")
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), "fr")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"),
+        guessed.alias("guessed_lang"),
+        hits["en"].alias("hits_en"), hits["fr"].alias("hits_fr"),
+        hits["de"].alias("hits_de"), hits["es"].alias("hits_es"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash of the whitespace-normalized
+    text (mod 1e9+7, base 131) — a sequential fold, spelled with the
+    higher-order aggregate() so it still runs JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+def _stop_sql(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+ORACLES = {
+    "token_count": f"""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens
+        FROM documents
+    """,
+    "quality_score": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks,
+                   len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct
+            FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+                           (a, b) -> a + b) AS sum_token_len,
+               CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+                                (a, b) -> a + b) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+               len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS stop_hits,
+               CAST(len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+               n_punct
+        FROM t
+    """,
+    "lang_guess": f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        ), h AS (
+            SELECT doc_id, lang,
+                   len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS hits_en,
+                   len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['fr'])}))) AS hits_fr,
+                   len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['de'])}))) AS hits_de,
+                   len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['es'])}))) AS hits_es
+            FROM t
+        )
+        SELECT doc_id, lang AS actual_lang,
+               CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
+                    WHEN hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
+                    WHEN hits_de >= hits_es THEN 'de'
+                    ELSE 'es' END AS guessed_lang,
+               hits_en, hits_fr, hits_de, hits_es
+        FROM h
+    """,
+    "doc_fingerprint": rf"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}) AS fingerprint
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "token_count": token_count,
+    "quality_score": quality_score,
+    "lang_guess": lang_guess,
+    "doc_fingerprint": doc_fingerprint,
+}

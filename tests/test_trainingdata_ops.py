@@ -1,0 +1,112 @@
+"""Semantic tests of the training-data operators on PLANTED data (the
+driver tables have no known dups, so we synthesize a tiny documents table
+with exact dups, near-dups, and unrelated docs)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "to the green hills beyond the old stone bridge near the river").split()
+
+DOCS = [
+    (0, " ".join(BASE), "en"),
+    (1, " ".join(BASE), "en"),                                   # exact dup of 0
+    (2, " ".join(BASE[:-2] + ["blue", "sea"]), "en"),            # near-dup of 0
+    (3, "completely different words about spark query engines and shuffles "
+        "with partitions and codegen stages everywhere all day long", "en"),
+    (4, "short text", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted")
+    rows = [
+        {"doc_id": i, "text": t, "lang": lg, "source": f"src{i}", "n_chars": len(t)}
+        for i, t, lg in DOCS
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_groups(spark, planted_dir):
+    from ocr_award_extractor_spark.operators.dedup import dedup_exact
+
+    rows = dedup_exact(spark, planted_dir).collect()
+    groups = {r["keeper"]: r["n_docs"] for r in rows}
+    assert groups[0] == 2            # docs 0 and 1 collapse, keeper = min id
+    assert sum(groups.values()) == len(DOCS)
+
+
+def test_minhash_lsh_finds_near_dup(spark, planted_dir):
+    from ocr_award_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, planted_dir).collect()}
+    assert (0, 1) in pairs           # exact dup always collides
+    assert (0, 2) in pairs           # near-dup shares most shingles
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_simhash_hamming_orders_similarity(spark, planted_dir):
+    from ocr_award_extractor_spark.operators.dedup import simhash
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash(spark, planted_dir).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h[0], h[1]) == 0                  # identical text
+    assert ham(h[0], h[2]) < ham(h[0], h[3])     # near-dup closer than unrelated
+
+
+def test_jaccard_adjacent(spark, planted_dir):
+    from ocr_award_extractor_spark.operators.dedup import jaccard_adjacent_pairs
+
+    j = {r["doc_a"]: r["jaccard"] for r in jaccard_adjacent_pairs(spark, planted_dir).collect()}
+    assert j[0] == 1.0               # 0 vs 1 identical token sets
+    assert 0.5 < j[1] < 1.0          # 1 vs 2 near-dup
+    assert j[2] < 0.15               # 2 vs 3 unrelated
+    assert len(j) == len(DOCS) - 1
+
+
+def test_fingerprint_matches_pure_python(spark, planted_dir):
+    from ocr_award_extractor_spark.operators.textstats import FP_BASE, FP_MOD, doc_fingerprint
+
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(spark, planted_dir).collect()}
+    import re
+
+    for i, t, _ in DOCS:
+        norm = re.sub(r"\s+", " ", t).strip()
+        fp = 0
+        for ch in norm:
+            fp = (fp * FP_BASE + ord(ch)) % FP_MOD
+        assert got[i] == fp
+
+
+def test_lang_guess_on_fixture_langs(spark, planted_dir):
+    from ocr_award_extractor_spark.operators.textstats import lang_guess
+
+    rows = lang_guess(spark, planted_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["guessed_lang"] == "en"
+    assert by_id[0]["hits_en"] > 0
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    """The bucketed scale path must return a SUBSET of the brute-force
+    pairs (precision 1 within-bucket; recall < 1 by construction)."""
+    from ocr_award_extractor_spark.operators.similarity import (
+        embedding_neardup_pairs, lsh_neardup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = {(r["va"], r["vb"]) for r in embedding_neardup_pairs(spark, sf).collect()}
+    lsh = {(r["va"], r["vb"]) for r in lsh_neardup_pairs(spark, sf).collect()}
+    assert lsh <= brute
+    if brute:
+        assert len(lsh) / len(brute) > 0.15
