@@ -235,12 +235,29 @@ def extract_page(html_bytes) -> dict:
         html_bytes = html_bytes.encode("utf-8")
 
     results = []
-    strict = strict_pass(html_bytes)
-    if strict is not None and strict[0]:
-        results.append(("strict", strict))
-    repaired = repair_pass(html_bytes)
-    if repaired[0]:
-        results.append(("repair", repaired))
+    strict_str: str | None
+    try:
+        strict_str = html_bytes.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        strict_str = None
+
+    if strict_str is not None:
+        strict = _segments_to_lines(segment_html(strict_str), repaired=False)
+        if strict[0]:
+            results.append(("strict", strict))
+        # The repair pass differs from strict ONLY via tolerant decode +
+        # control-char strip. If the strict-decoded text has no control /
+        # replacement chars, repair's input string is IDENTICAL, so its
+        # result is identical and the first-wins tie-break would pick
+        # strict anyway — skip the second parse (≈2× throughput).
+        run_repair = bool(_CTRL.search(strict_str))
+    else:
+        run_repair = True
+
+    if run_repair:
+        repaired = repair_pass(html_bytes)
+        if repaired[0]:
+            results.append(("repair", repaired))
 
     if not results:
         return {"status": "error", "message": "no text extracted",

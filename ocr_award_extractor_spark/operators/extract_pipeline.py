@@ -89,18 +89,22 @@ def extract_record(url, warc_ts, lang, html) -> dict:
     }
 
 
+_OUT_COLS = tuple(f.name for f in OUT_SCHEMA.fields)
+
+
 def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: Arrow batch in → Arrow batch out. The Python loop
     lives INSIDE the batch (the mapInPandas norm for parser-shaped work);
-    all patterns are compiled once per worker at module import."""
+    all patterns are compiled once per worker at module import. Output
+    batches are built COLUMNAR (per-column lists) — building a pandas frame
+    from a list of dicts does per-cell type inference and was ~2× of the
+    whole stage cost at 32 cores."""
     for pdf in batches:
-        urls = pdf["url"].to_numpy()
-        tss = pdf["warc_ts"].to_numpy()
-        langs = pdf["lang"].to_numpy()
-        htmls = pdf["html"].to_numpy()
-        out = [extract_record(urls[i], tss[i], langs[i], htmls[i])
-               for i in range(len(pdf))]
-        yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
+        it = zip(pdf["url"].to_numpy(), pdf["warc_ts"].to_numpy(),
+                 pdf["lang"].to_numpy(), pdf["html"].to_numpy())
+        out = [extract_record(u, t, lg, h) for u, t, lg, h in it]
+        data = {c: [r[c] for r in out] for c in _OUT_COLS}
+        yield pd.DataFrame(data, columns=list(_OUT_COLS), copy=False)
 
 
 def extract_documents(df: DataFrame, *, salt_partitions: int | None = None) -> DataFrame:

@@ -1,0 +1,176 @@
+"""Resumable write path: per-partition lineage rows + resume anti-join.
+
+The reference has NO fault tolerance — a crash loses the whole run
+(SURVEY.md §4). The north rule requires resumable jobs with per-partition
+lineage (input split, row counts, checksum). Design:
+
+* every document gets a deterministic ``split_id = pmod(xxhash64(url), N)``
+  — stable across runs and cluster sizes, so resume is content-addressed,
+  not file-order-addressed;
+* splits are committed in BATCHES: each batch is one Spark job that writes
+  its data partitions (dynamic partition overwrite — a re-run of a
+  half-written batch replaces stray files instead of duplicating) and THEN
+  appends one lineage row per split. The lineage append is the commit
+  point: readers only trust splits present in the lineage dataset, which
+  is exactly Iceberg's snapshot-visibility semantics done manually on
+  parquet (no Iceberg jars in this sandbox; with Iceberg, data+lineage
+  append in one transaction — see BASELINE.json north_star);
+* on restart, committed splits are read from lineage and the input is
+  filtered with a broadcast LEFT ANTI JOIN on split_id — already-committed
+  work is never recomputed or re-shuffled;
+* checksum per split = bit_xor over xxhash64(url, chr0, ocr_text) —
+  order-insensitive, overflow-free (ANSI mode safe), cheap to recompute
+  for audit.
+
+Layout under ``out_dir``:
+    data/split_id=<k>/…parquet      extracted rows
+    _lineage/…parquet               (run_id, split_id, row_count, checksum,
+                                     committed_seq)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_SPLITS_DEFAULT = 16
+
+_LINEAGE_SCHEMA = "run_id string, split_id int, row_count long, checksum long, committed_seq int"
+
+
+def with_split_id(docs: DataFrame, n_splits: int = N_SPLITS_DEFAULT) -> DataFrame:
+    return docs.withColumn(
+        "split_id", F.pmod(F.xxhash64("url"), F.lit(n_splits)).cast("int")
+    )
+
+
+def committed_splits(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Lineage rows of committed splits (empty DataFrame if none yet)."""
+    path = os.path.join(out_dir, "_lineage")
+    if not os.path.exists(path):        # avoids a noisy JVM-side stack trace
+        return spark.createDataFrame([], _LINEAGE_SCHEMA)
+    try:
+        return spark.read.schema(_LINEAGE_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], _LINEAGE_SCHEMA)
+
+
+def pending_documents(spark: SparkSession, docs: DataFrame, out_dir: str,
+                      n_splits: int = N_SPLITS_DEFAULT) -> DataFrame:
+    """Resume filter: drop documents whose split is already committed.
+    The lineage side is tiny (≤ n_splits rows) ⇒ broadcast anti-join, no
+    shuffle of the fat documents table."""
+    lin = committed_splits(spark, out_dir).select("split_id").distinct()
+    return with_split_id(docs, n_splits).join(
+        F.broadcast(lin), "split_id", "left_anti"
+    )
+
+
+def _split_checksum_rows(extracted: DataFrame) -> DataFrame:
+    return extracted.groupBy("split_id").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.bit_xor(
+            F.xxhash64(F.col("url"), F.lit("\0"), F.coalesce(F.col("ocr_text"), F.lit("")))
+        ).alias("checksum"),
+    )
+
+
+def run_resumable_extraction(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    *,
+    n_splits: int = N_SPLITS_DEFAULT,
+    n_batches: int = 4,
+    max_batches: int | None = None,
+    extract=None,
+) -> dict:
+    """Run (or resume) the extraction job with batch-granular commits.
+
+    ``max_batches`` exists for tests: stop after N commits to simulate a
+    killed job. Returns counters. ``extract`` defaults to the flagship
+    extraction stage and must map a documents DataFrame (with split_id) to
+    an output DataFrame that keeps url/ocr_text/split_id.
+    """
+    if extract is None:
+        from ocr_award_extractor_spark.operators.extract_pipeline import (
+            extract_batch, OUT_SCHEMA,
+        )
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        schema = StructType(list(OUT_SCHEMA.fields) + [StructField("split_id", IntegerType())])
+
+        def extract(pending: DataFrame) -> DataFrame:  # noqa: F811
+            cols = pending.select("url", "warc_ts", "lang", "html", "split_id")
+
+            def batch_with_split(batches):
+                import pandas as pd
+
+                from ocr_award_extractor_spark.operators.extract_pipeline import extract_record
+
+                for pdf in batches:
+                    out = [extract_record(r.url, r.warc_ts, r.lang, r.html)
+                           | {"split_id": int(r.split_id)}
+                           for r in pdf.itertuples(index=False)]
+                    yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+            return cols.mapInPandas(batch_with_split, schema)
+
+    data_dir = os.path.join(out_dir, "data")
+    lineage_dir = os.path.join(out_dir, "_lineage")
+
+    already = {r["split_id"] for r in committed_splits(spark, out_dir).collect()}
+    todo = sorted(set(range(n_splits)) - already)
+    batches = [todo[i::n_batches] for i in range(n_batches)]
+    batches = [b for b in batches if b]
+
+    done_batches = 0
+    rows_written = 0
+    for seq, splits in enumerate(batches):
+        if max_batches is not None and done_batches >= max_batches:
+            break
+        pending = with_split_id(docs, n_splits).where(F.col("split_id").isin(splits))
+        out = extract(pending)
+        # dynamic partition overwrite: a rerun of a crashed batch replaces
+        # stray files rather than appending duplicates
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("split_id")
+            .parquet(data_dir))
+        stats = _split_checksum_rows(spark.read.parquet(data_dir)
+                                     .where(F.col("split_id").isin(splits)))
+        lineage = stats.select(
+            F.lit(run_id).alias("run_id"), F.col("split_id").cast("int"),
+            "row_count", "checksum", F.lit(seq).cast("int").alias("committed_seq"),
+        )
+        lineage.write.mode("append").parquet(lineage_dir)   # ← the commit point
+        rows_written += sum(r["row_count"] for r in stats.collect())
+        done_batches += 1
+
+    return {"batches_committed": done_batches,
+            "splits_total": n_splits,
+            "splits_previously_committed": len(already),
+            "rows_written": rows_written}
+
+
+def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read ONLY committed data: inner-join the data partitions against the
+    lineage split list (the snapshot-visibility read path)."""
+    lin = committed_splits(spark, out_dir).select("split_id").distinct()
+    data = spark.read.parquet(os.path.join(out_dir, "data"))
+    return data.join(F.broadcast(lin), "split_id")
+
+
+def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Audit: recompute per-split checksums from data and diff vs lineage."""
+    lin = committed_splits(spark, out_dir).select("split_id", "row_count", "checksum")
+    actual = _split_checksum_rows(read_committed(spark, out_dir)).withColumnRenamed(
+        "row_count", "actual_rows").withColumnRenamed("checksum", "actual_checksum")
+    return (
+        lin.join(actual, "split_id", "full")
+        .where((F.col("row_count") != F.col("actual_rows"))
+               | (F.col("checksum") != F.col("actual_checksum")))
+    )

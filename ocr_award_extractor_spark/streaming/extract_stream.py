@@ -1,0 +1,108 @@
+"""Structured Streaming demos.
+
+The reference is strictly batch (one directory sweep per run,
+certificate_ocr.py:409-444) — these are NEW scope showing the same
+extraction kernel running incrementally:
+
+* :func:`stream_extract` — file-source stream of web-page parquet →
+  the SAME mapInPandas extraction stage (the stage is stream-agnostic
+  because it is stateless per row) → sink via foreachBatch. Run with
+  trigger(availableNow=True) for a bounded catch-up pass; on a cluster the
+  same query tails an arriving-WARC directory or Kafka topic.
+
+* :func:`windowed_event_counts` — watermarked event-time tumbling-window
+  aggregation over the events stream (late data beyond the watermark is
+  dropped — the standard late-arrival policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.operators.extract_pipeline import (
+    OUT_SCHEMA, extract_documents,
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental extraction over a growing directory of web-page parquet.
+    Returns the started StreamingQuery (caller awaits termination)."""
+    from ocr_award_extractor_spark.operators.webify import PAGE_SCHEMA
+
+    reader = (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(input_dir)
+    extracted = extract_documents(pages)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(output_dir)
+
+    return (
+        extracted.writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window counts per event_type (streaming
+    groupBy with state cleanup once the watermark passes)."""
+    ev = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string")
+        .format("parquet")
+        .load(events_dir)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def run_windowed_counts_available_now(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Bounded run of the windowed aggregation into a memory sink; returns
+    the result table (test/demo helper)."""
+    # complete mode: in a bounded (availableNow) run, append mode would
+    # withhold the final windows still inside the watermark; complete
+    # emits the whole result table, making batch-equality checks exact.
+    q = (
+        windowed_event_counts(spark, events_dir)
+        .writeStream.format("memory").queryName("windowed_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table("windowed_counts")
+
+
+__all__ = ["stream_extract", "windowed_event_counts",
+           "run_windowed_counts_available_now", "OUT_SCHEMA"]

@@ -1,0 +1,54 @@
+"""Streaming demos: the streaming extraction must equal the batch pipeline
+on the same input; windowed counts must equal the batch groupBy."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.sources.tables import ensure_fixture
+
+
+def test_stream_extract_equals_batch(spark, tmp_path):
+    from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+    from ocr_award_extractor_spark.streaming.extract_stream import stream_extract
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    shutil.copy(ensure_fixture(n_docs=120), src / "part-0.parquet")
+
+    q = stream_extract(spark, str(src), str(tmp_path / "ckpt"), str(tmp_path / "out"))
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    want = extract_documents(spark.read.parquet(str(src)))
+    a = {r["url"]: (r["status"], r["ocr_text"]) for r in got.collect()}
+    b = {r["url"]: (r["status"], r["ocr_text"]) for r in want.collect()}
+    assert a == b and len(a) == 120
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        run_windowed_counts_available_now,
+    )
+
+    events_dir = "/root/testdata/sf0.001"
+    # file-source streams need a directory of just the events parquet
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(os.path.join(events_dir, "events.parquet"), src / "events.parquet")
+
+    got = run_windowed_counts_available_now(spark, str(src), str(tmp_path / "ck2"))
+    want = (
+        spark.read.parquet(str(src / "events.parquet"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) > 0
