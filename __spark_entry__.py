@@ -65,6 +65,18 @@ def _extract_pipeline_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _model_slot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the pluggable batch-inference slot (O20/O21/O19) over the
+    flagship pipeline output with the deterministic fake model."""
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.operators.llm_slot import extract_with_model
+
+    out = extract_with_model(_flagship(spark, sf_dir))
+    return out.select("url", "path", "competition_name", "award_level",
+                      F.concat_ws("|", "winner").alias("winners"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_award_extractor_spark.operators import relational
 
@@ -72,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational.QUERIES)
     q["extract_pipeline_text"] = _extract_pipeline_text
     q["extract_pipeline_fields"] = _extract_pipeline_fields
+    q["model_slot_extract"] = _model_slot_extract
     try:
         from ocr_award_extractor_spark.operators import dedup, similarity, textstats
 

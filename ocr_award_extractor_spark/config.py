@@ -49,6 +49,35 @@ def _ensure_worker_pythonpath() -> None:
         os.environ["PYTHONPATH"] = os.pathsep.join([_PKG_PARENT] + [p for p in parts if p])
 
 
+_shipped_sessions: set[int] = set()
+
+
+def ensure_package_on_workers(spark) -> None:
+    """Make the package importable in executor Python workers of ANY
+    session — including sessions we didn't build (the external driver
+    contract). Zips the package once and ships it via addPyFile, the
+    runtime equivalent of ``spark-submit --py-files``. Idempotent per
+    session."""
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    import zipfile
+
+    pkg_dir = os.path.join(_PKG_PARENT, "ocr_award_extractor_spark")
+    zip_path = os.path.join(_PKG_PARENT, "fixtures", "_pkg_pyfiles.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    tmp = zip_path + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, _PKG_PARENT))
+    os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped_sessions.add(key)
+
+
 def get_spark(app_name: str = "ocr-award-extractor-spark",
               master: str | None = None,
               shuffle_partitions: int | None = None,

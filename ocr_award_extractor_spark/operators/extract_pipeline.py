@@ -115,6 +115,9 @@ def extract_documents(df: DataFrame, *, salt_partitions: int | None = None) -> D
     input is already well-balanced, e.g. the small fixture). At cluster
     scale pass ~2-4× total cores so jumbo-doc stragglers stay short.
     """
+    from ocr_award_extractor_spark.config import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
     cols = df.select(*_IN_COLS)   # column pruning: html never flows past this stage
     if salt_partitions:
         cols = cols.repartition(salt_partitions, F.xxhash64("url", F.lit(SALT_SEED)))

@@ -113,6 +113,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     """media(url, kind, payload:binary) → typed feature rows. Same error
     contract and batch discipline as the HTML pipeline; the fat `payload`
     column is pruned before and dropped after this stage."""
+    from ocr_award_extractor_spark.config import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
     return media.select("url", "kind", "payload").mapInPandas(
         _feature_batch, FEATURE_SCHEMA
     )

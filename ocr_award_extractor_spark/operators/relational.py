@@ -182,6 +182,44 @@ def q3_revenue_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- O13 first-match keyword lookup
+KEYWORD_PRIORITY = ("window", "stream", "join", "scan", "sort")
+
+
+def first_keyword_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational spelling of the ordered first-match keyword scan
+    (certificate_ocr.py:348-355): a fixed-priority CASE/WHEN chain — the
+    first keyword in list order contained in the text wins."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr = F.lit("")
+    for kw in reversed(KEYWORD_PRIORITY):
+        expr = F.when(F.col("text").contains(kw), kw).otherwise(expr)
+    return docs.select("doc_id", expr.alias("first_kw"))
+
+
+# ------------------------------------------------- O21 semi-structured parse
+def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the events props column (the LLM-reply JSON parse of
+    certificate_ocr.py:251-252, spelled relationally)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k_val"),
+    )
+
+
+# --------------------------------------------------------- O22 JSON emit
+def docs_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json(struct(...)) — the per-document JSON blob of the reference's
+    sink (certificate_ocr.py:432-441), formatted identically by both
+    engines (compact separators, unescaped UTF-8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("doc_id"), F.col("lang"), F.col("n_chars"))).alias("doc_json"),
+    )
+
+
 ORACLES = {
     "count_by_lang": """
         SELECT lang, count(*) AS docs FROM documents GROUP BY lang
@@ -249,6 +287,25 @@ ORACLES = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
+    "first_keyword_hit": f"""
+        SELECT doc_id,
+               CASE WHEN contains(text, '{KEYWORD_PRIORITY[0]}') THEN '{KEYWORD_PRIORITY[0]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[1]}') THEN '{KEYWORD_PRIORITY[1]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[2]}') THEN '{KEYWORD_PRIORITY[2]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[3]}') THEN '{KEYWORD_PRIORITY[3]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[4]}') THEN '{KEYWORD_PRIORITY[4]}'
+                    ELSE '' END AS first_kw
+        FROM documents
+    """,
+    "parse_props_json": """
+        SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
+        FROM events
+    """,
+    "docs_to_json": """
+        SELECT doc_id,
+               to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
+        FROM documents
+    """,
     "q3_revenue_by_order": """
         SELECT o_orderkey,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -275,4 +332,7 @@ QUERIES = {
     "distinct_tokens_sorted": distinct_tokens_sorted,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_by_order": q3_revenue_by_order,
+    "first_keyword_hit": first_keyword_hit,
+    "parse_props_json": parse_props_json,
+    "docs_to_json": docs_to_json,
 }

@@ -72,6 +72,9 @@ def _wrap_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def webify_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, …) → pages(url, warc_ts, html,
     text, lang), deterministic per doc_id."""
+    from ocr_award_extractor_spark.config import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
     return (
         docs.select("doc_id", "text", "lang", "source")
         .mapInPandas(_wrap_batch, PAGE_SCHEMA)

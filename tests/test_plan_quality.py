@@ -1,0 +1,95 @@
+"""Plan-quality assertions (the '.explain and iterate' discipline): column
+pruning around the fat html column, predicate/partition pruning at the
+scan, broadcast joins where a side is small. These pin the PLAN, not just
+the results — a regression that silently widens the scan fails here."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+from ocr_award_extractor_spark.sources.tables import ensure_fixture, load_fixture
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_html_column_pruned_from_scan(spark):
+    """The extraction stage must NOT read the ground-truth text column —
+    ReadSchema at the parquet scan carries only url/warc_ts/lang/html."""
+    docs = load_fixture(spark, n_docs=50)
+    plan = _plan(extract_documents(docs))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert "html" in scan_lines[0]
+    assert "text" not in scan_lines[0], scan_lines[0]
+
+
+def test_filter_pushed_to_scan(spark):
+    docs = load_fixture(spark, n_docs=50)
+    plan = _plan(docs.where(F.col("lang") == "zh").select("url"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,zh)" in plan.replace(" ", ""), plan
+
+
+def test_partition_pruning_on_warc_date(spark, tmp_path):
+    """Input-hint requirement: partition pruning on warc_ts. Writing the
+    fixture partitioned by warc_date, a date predicate must prune
+    partitions at planning time (PartitionFilters + fewer files read)."""
+    docs = load_fixture(spark, n_docs=200)
+    part_dir = str(tmp_path / "parted")
+    (docs.withColumn("warc_date", F.to_date("warc_ts"))
+         .write.partitionBy("warc_date").parquet(part_dir))
+
+    parted = spark.read.parquet(part_dir)
+    n_dates = len([d for d in os.listdir(part_dir) if d.startswith("warc_date=")])
+    assert n_dates > 5
+
+    one_day = parted.where(F.col("warc_date") == "2024-03-02")
+    plan = _plan(one_day.select("url"))
+    assert "PartitionFilters" in plan
+    assert "warc_date" in plan
+    # pruned read touches exactly one partition's rows
+    dates = {r["warc_date"] for r in one_day.select("warc_date").distinct().collect()}
+    assert len(dates) <= 1
+
+
+def test_broadcast_join_for_small_dim(spark):
+    """q3 shape: the filtered customer side must broadcast (no shuffle of
+    the fact tables on the join key)."""
+    from ocr_award_extractor_spark.operators.relational import q3_revenue_by_order
+
+    plan = _plan(q3_revenue_by_order(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_resume_antijoin_is_broadcast(spark, tmp_path):
+    from ocr_award_extractor_spark.plans.lineage import (
+        pending_documents, run_resumable_extraction,
+    )
+
+    out = str(tmp_path / "o")
+    docs = load_fixture(spark, n_docs=50)
+    run_resumable_extraction(spark, docs, out, "r", n_splits=4, n_batches=2,
+                             max_batches=1)
+    plan = _plan(pending_documents(spark, docs, out, n_splits=4))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """ann_topk must plan as TakeOrderedAndProject (per-partition heap),
+    not a global sort."""
+    from ocr_award_extractor_spark.operators.similarity import ann_topk_cosine
+
+    plan = _plan(ann_topk_cosine(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
