@@ -234,6 +234,13 @@ def extract_page(html_bytes) -> dict:
     if isinstance(html_bytes, str):
         html_bytes = html_bytes.encode("utf-8")
 
+    # content-type routing: PDF payloads take the PDF/layout leg; the rest
+    # of the pipeline is format-agnostic (same result shape)
+    from ocr_award_extractor_spark.functions.pdftext import PDF_MAGIC, extract_pdf_page
+
+    if html_bytes[:5] == PDF_MAGIC:
+        return extract_pdf_page(html_bytes)
+
     results = []
     strict_str: str | None
     try:

@@ -1,0 +1,146 @@
+"""Minimal PDF text/layout extraction, stdlib-only.
+
+The north rule scopes "HTML boilerplate strip, PDF/layout parse, DOM
+heuristics". This module is the PDF leg: a deliberately small extractor for
+the common machine-generated shape —
+
+* content streams located via ``stream…endstream``, FlateDecode handled
+  with stdlib zlib (raw fallback for uncompressed streams);
+* text runs pulled from ``BT…ET`` blocks: each ``(…) Tj`` show-text is one
+  line; a ``[…] TJ`` array concatenates its string elements into one line
+  (kerning numbers ignored);
+* PDF literal-string escapes (\\( \\) \\\\ \\n \\r \\t \\b \\f and octal
+  \\ddd) are unescaped; bytes decode as UTF-8 with Latin-1 fallback.
+
+Out of scope, by design (documented limits, not silent wrongness): font
+CMap/ToUnicode remapping (CJK-embedded-font PDFs), encrypted PDFs, and
+object streams — a payload we cannot extract any text from yields the same
+``status='error'`` row as an unreadable image (certificate_ocr.py:100-105);
+a real cluster swaps in a pdfium/poppler backend behind the same function.
+
+Payload routing lives in htmltext.extract_page: ``%PDF-`` magic → here,
+anything else → the HTML segmenter. The rest of the pipeline (batching,
+lineage, streaming, field extraction) is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+PDF_MAGIC = b"%PDF-"
+
+_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_TEXT_BLOCK = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_PDF_STRING = rb"\((?:\\.|[^\\()])*\)"
+_SHOW_TJ = re.compile(_PDF_STRING + rb"\s*Tj")
+_SHOW_ARRAY = re.compile(rb"\[((?:" + _PDF_STRING + rb"|[^\]])*)\]\s*TJ")
+_LITERAL = re.compile(_PDF_STRING)
+_OCTAL = re.compile(rb"\\([0-7]{1,3})")
+
+_SIMPLE_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        ch = raw[i:i + 1]
+        if ch != b"\\":
+            out += ch
+            i += 1
+            continue
+        nxt = raw[i + 1:i + 2]
+        if nxt and nxt in _SIMPLE_ESCAPES:
+            out += _SIMPLE_ESCAPES[nxt]
+            i += 2
+        elif nxt and nxt.isdigit():
+            m = _OCTAL.match(raw, i)
+            out += bytes([int(m.group(1), 8) & 0xFF])
+            i = m.end()
+        else:
+            i += 1   # lone backslash: line continuation / unknown → dropped
+    return bytes(out)
+
+
+def _decode_text(raw: bytes) -> str:
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+def _string_content(literal: bytes) -> str:
+    return _decode_text(_unescape(literal[1:-1]))
+
+
+def extract_pdf_lines(data: bytes) -> list[str]:
+    """All text lines of a simple PDF, in content-stream order. Empty list
+    when nothing extractable (caller turns that into an error row)."""
+    lines: list[str] = []
+    for m in _STREAM.finditer(data):
+        payload = m.group(1)
+        try:
+            content = zlib.decompress(payload)
+        except zlib.error:
+            content = payload
+        for block in _TEXT_BLOCK.finditer(content):
+            body = block.group(1)
+            events: list[tuple[int, str]] = []
+            for sm in _SHOW_TJ.finditer(body):
+                lit = _LITERAL.match(sm.group(0))
+                events.append((sm.start(), _string_content(lit.group(0))))
+            for am in _SHOW_ARRAY.finditer(body):
+                parts = [_string_content(x.group(0))
+                         for x in _LITERAL.finditer(am.group(1))]
+                events.append((am.start(), "".join(parts)))
+            for _, text in sorted(events, key=lambda e: e[0]):
+                stripped = text.strip()
+                if stripped:
+                    lines.append(stripped)
+    return lines
+
+
+def extract_pdf_page(data: bytes) -> dict:
+    """Same result shape as htmltext.extract_page (status/message/lines/
+    confs/strategy) so the pipeline is format-agnostic."""
+    lines = extract_pdf_lines(data)
+    if not lines:
+        return {"status": "error", "message": "no text extracted",
+                "lines": [], "confs": [], "strategy": ""}
+    confs = [min(1.0, 0.5 + len(ln) / 80.0) for ln in lines]
+    return {"status": "success", "message": "",
+            "lines": lines, "confs": confs, "strategy": "pdf"}
+
+
+# ------------------------------------------------------------ test fixture
+def make_simple_pdf(lines: list[str], compress: bool = False) -> bytes:
+    """A minimal single-page PDF whose content stream shows each line with
+    a Tj operator (escaping applied). Valid enough for any PDF text
+    extractor that reads content streams."""
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops = ["BT", "/F1 12 Tf", "72 760 Td"]
+    for i, ln in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({esc(ln)}) Tj")
+    ops.append("ET")
+    content = "\n".join(ops).encode("utf-8")
+    flags = b""
+    if compress:
+        content = zlib.compress(content)
+        flags = b" /Filter /FlateDecode"
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + flags + b" >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )

@@ -220,6 +220,34 @@ def docs_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- rollup / window breadth
+def monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(year, month): subtotal rows carry NULL keys in both
+    engines. One shuffle; Spark expands grouping sets map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").cast("long").alias("yr"),
+                 F.month("o_orderdate").cast("long").alias("mo"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum + lag (days since previous order) per
+    customer — pinned total ordering, raw doubles (identical summation
+    sequence in both engines, no rounding)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("running_total"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long").alias("days_since_prev"),
+    )
+
+
 ORACLES = {
     "count_by_lang": """
         SELECT lang, count(*) AS docs FROM documents GROUP BY lang
@@ -287,6 +315,25 @@ ORACLES = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
+    "monthly_order_rollup": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP(yr, mo)
+    """,
+    "running_revenue_per_customer": """
+        SELECT o_custkey, o_orderkey,
+               sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey
+                                       ROWS UNBOUNDED PRECEDING) AS running_total,
+               CAST(datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS days_since_prev
+        FROM orders
+    """,
     "first_keyword_hit": f"""
         SELECT doc_id,
                CASE WHEN contains(text, '{KEYWORD_PRIORITY[0]}') THEN '{KEYWORD_PRIORITY[0]}'
@@ -332,6 +379,8 @@ QUERIES = {
     "distinct_tokens_sorted": distinct_tokens_sorted,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_by_order": q3_revenue_by_order,
+    "monthly_order_rollup": monthly_order_rollup,
+    "running_revenue_per_customer": running_revenue_per_customer,
     "first_keyword_hit": first_keyword_hit,
     "parse_props_json": parse_props_json,
     "docs_to_json": docs_to_json,

@@ -122,6 +122,25 @@ def run_resumable_extraction(
     data_dir = os.path.join(out_dir, "data")
     lineage_dir = os.path.join(out_dir, "_lineage")
 
+    # split ids are content-addressed MOD n_splits — changing n_splits
+    # between runs on the same output would re-key splits and duplicate
+    # rows, so the first run pins it and later runs must match.
+    import json as _json
+
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as fh:
+            pinned = _json.load(fh)["n_splits"]
+        if pinned != n_splits:
+            raise ValueError(
+                f"output {out_dir} was created with n_splits={pinned}; "
+                f"got {n_splits} — rerun with --n-splits {pinned}"
+            )
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(meta_path, "w", encoding="utf-8") as fh:
+            _json.dump({"n_splits": n_splits}, fh)
+
     already = {r["split_id"] for r in committed_splits(spark, out_dir).collect()}
     todo = sorted(set(range(n_splits)) - already)
     batches = [todo[i::n_batches] for i in range(n_batches)]

@@ -1,0 +1,62 @@
+"""PDF leg: roundtrip through compressed/uncompressed streams, escape
+handling, magic-byte routing through the FULL pipeline, error contract."""
+
+from __future__ import annotations
+
+from ocr_award_extractor_spark.functions.htmltext import extract_page
+from ocr_award_extractor_spark.functions.pdftext import (
+    extract_pdf_lines, make_simple_pdf,
+)
+
+LINES = ["Award Certificate 2024", "Grand Prize (first) \\ winner",
+         "Team: Alice, Bob"]
+
+
+def test_roundtrip_uncompressed():
+    assert extract_pdf_lines(make_simple_pdf(LINES)) == LINES
+
+
+def test_roundtrip_flate_compressed():
+    assert extract_pdf_lines(make_simple_pdf(LINES, compress=True)) == LINES
+
+
+def test_tj_array_concatenation():
+    pdf = (b"%PDF-1.4\nstream\nBT [(Hel) -20 (lo ) 5 (world)] TJ ET\nendstream\n")
+    assert extract_pdf_lines(pdf) == ["Hello world"]
+
+
+def test_octal_and_escapes():
+    pdf = b"%PDF-1.4\nstream\nBT (A\\051B\\na) Tj ET\nendstream\n"
+    # \051 = ')', \n escape stays inside the string then strip keeps it
+    assert extract_pdf_lines(pdf) == ["A)B\na"]
+
+
+def test_magic_routing_through_pipeline():
+    page = extract_page(make_simple_pdf(LINES, compress=True))
+    assert page["status"] == "success" and page["strategy"] == "pdf"
+    assert page["lines"] == LINES
+
+
+def test_garbage_pdf_is_error_row():
+    page = extract_page(b"%PDF-1.4\ntotal garbage no streams")
+    assert page["status"] == "error"
+    assert page["message"] == "no text extracted"
+
+
+def test_pdf_through_spark_pipeline(spark):
+    import datetime
+
+    from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+
+    ts = datetime.datetime(2024, 3, 1)
+    rows = [
+        ("pdf1", ts, "zh", make_simple_pdf(["证书", "荣获一等奖", "获奖学生：张三"], compress=True)),
+        ("html1", ts, "zh", "<html><body><p>荣获二等奖</p></body></html>".encode()),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, lang string, html binary")
+    got = {r["url"]: r for r in extract_documents(df).collect()}
+    assert got["pdf1"]["strategy"] == "pdf"
+    assert got["pdf1"]["award_level"] == "一等奖"
+    assert got["pdf1"]["winner"] == ["张三"]
+    assert got["html1"]["strategy"] == "strict"
+    assert got["html1"]["award_level"] == "二等奖"

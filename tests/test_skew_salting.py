@@ -1,0 +1,40 @@
+"""Skew defense: on host-clustered input (the realistic Common-Crawl file
+layout), the salted repartition must even out per-partition BYTE load —
+the thing that decides straggler time in the UDF stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_award_extractor_spark.config import SALT_SEED
+from ocr_award_extractor_spark.sources.tables import load_fixture
+
+N_PARTS = 8
+
+
+def _bytes_per_partition(df):
+    rows = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.sum(F.length("html")).alias("b"))
+        .collect()
+    )
+    sizes = [r["b"] for r in rows]
+    return max(sizes) / (sum(sizes) / len(sizes))
+
+
+def test_salting_evens_host_clustered_input(spark):
+    docs = load_fixture(spark, n_docs=400)
+
+    # host-clustered layout: hash-partition on the HOST (what a crawl's
+    # per-host WARC files look like) — the Zipf head host dominates its
+    # partition's byte load
+    host = F.regexp_extract("url", "//([^.]+)", 1)
+    clustered = docs.repartition(N_PARTS, host)
+    skew_before = _bytes_per_partition(clustered)
+
+    salted = clustered.repartition(N_PARTS, F.xxhash64("url", F.lit(SALT_SEED)))
+    skew_after = _bytes_per_partition(salted)
+
+    assert skew_before > 1.5, f"fixture should be skewed, got {skew_before:.2f}"
+    assert skew_after < skew_before
+    assert skew_after < 1.6, f"salted max/mean still {skew_after:.2f}"
