@@ -86,11 +86,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_pipeline_fields"] = _extract_pipeline_fields
     q["model_slot_extract"] = _model_slot_extract
     try:
-        from ocr_award_extractor_spark.operators import dedup, similarity, textstats
+        from ocr_award_extractor_spark.operators import (
+            dedup, multimodal, similarity, textstats,
+        )
 
         q.update(dedup.QUERIES)
         q.update(similarity.QUERIES)
         q.update(textstats.QUERIES)
+        q.update(multimodal.QUERIES)
     except ImportError:
         pass
     return q
@@ -117,11 +120,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
     try:
-        from ocr_award_extractor_spark.operators import dedup, similarity, textstats
+        from ocr_award_extractor_spark.operators import (
+            dedup, multimodal, similarity, textstats,
+        )
 
         o.update(dedup.ORACLES)
         o.update(similarity.ORACLES)
         o.update(textstats.ORACLES)
+        o.update(multimodal.ORACLES)
     except ImportError:
         pass
     return o

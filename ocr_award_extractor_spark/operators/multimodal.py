@@ -22,7 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 FEATURE_SCHEMA = StructType([
@@ -119,6 +120,124 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.select("url", "kind", "payload").mapInPandas(
         _feature_batch, FEATURE_SCHEMA
     )
+
+
+MEDIA_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("kind", StringType()),
+    StructField("payload", BinaryType()),
+])
+
+# closed-form payload parameters — shared byte-for-byte with the DuckDB oracle
+_IMG_MOD, _IMG_A, _IMG_B = 251, 31, 17
+_VID_MOD, _VID_A, _VID_B = 247, 13, 29
+
+
+def _media_rows(doc_id: int) -> list[dict]:
+    """One deterministic FAKEIMG per doc (every 25th truncated to exercise
+    the error contract), plus a FAKEVID for every 4th doc. Pixel byte i is
+    (doc_id·a + i·b) mod m — a closed form DuckDB reproduces with a
+    correlated SUM over range(), so mean_intensity is oracle-checkable."""
+    w, h = 8 + doc_id % 9, 8 + doc_id % 7
+    px = ((doc_id * _IMG_A + np.arange(w * h, dtype=np.int64) * _IMG_B)
+          % _IMG_MOD).astype(np.uint8)
+    body = px.tobytes()
+    if doc_id % 25 == 24:  # truncated payload → error ROW, not exception
+        body = body[:-1]
+    rows = [{
+        "url": f"media://img/{doc_id:08d}", "kind": "fake_image",
+        "payload": b"FAKEIMG:%d:%d:" % (w, h) + body,
+    }]
+    if doc_id % 4 == 0:
+        n, flen = 2 + doc_id % 5, 16 + doc_id % 16
+        fx = ((doc_id * _VID_A + np.arange(n * flen, dtype=np.int64) * _VID_B)
+              % _VID_MOD).astype(np.uint8)
+        rows.append({
+            "url": f"media://vid/{doc_id:08d}", "kind": "fake_video",
+            "payload": b"FAKEVID:%d:%d:" % (n, flen) + fx.tobytes(),
+        })
+    return rows
+
+
+def _media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            out.extend(_media_rows(int(doc_id)))
+        yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, …) → media(url, kind, payload:binary),
+    deterministic per doc_id. Stand-in for a real WARC media sidecar table;
+    only doc_id is read (column pruning keeps the scan narrow)."""
+    from ocr_award_extractor_spark.config import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+    return docs.select("doc_id").mapInPandas(_media_batch, MEDIA_SCHEMA)
+
+
+def multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """Full multimodal leg: derive media table → Arrow-batched decode +
+    feature extraction → typed rows (success AND error contract)."""
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_media_features(media_from_documents(docs)).select(
+        "url", "kind", "status", "message",
+        "width", "height", "n_frames", "n_bytes", "mean_intensity",
+    )
+
+
+_MULTIMODAL_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INTEGER) AS w,
+               CAST(8 + doc_id % 7 AS INTEGER) AS h,
+               doc_id % 25 = 24 AS bad
+        FROM documents
+    ), img AS (
+        SELECT 'media://img/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+               'fake_image' AS kind,
+               CASE WHEN bad THEN 'error' ELSE 'success' END AS status,
+               CASE WHEN bad THEN 'decode failed: truncated image: '
+                         || (w * h - 1) || ' != ' || w || '*' || h END AS message,
+               CASE WHEN NOT bad THEN w END AS width,
+               CASE WHEN NOT bad THEN h END AS height,
+               CASE WHEN NOT bad THEN CAST(1 AS INTEGER) END AS n_frames,
+               CAST(10 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                    + w * h - CAST(bad AS INTEGER) AS BIGINT) AS n_bytes,
+               CASE WHEN NOT bad THEN
+                   (SELECT CAST(SUM((d.doc_id * {_IMG_A} + r.range * {_IMG_B})
+                                    % {_IMG_MOD}) AS DOUBLE) / (d.w * d.h)
+                    FROM range(16 * 14) r
+                    WHERE r.range < d.w * d.h) END AS mean_intensity
+        FROM d
+    ), v AS (
+        SELECT doc_id,
+               CAST(2 + doc_id % 5 AS INTEGER) AS n,
+               CAST(16 + doc_id % 16 AS INTEGER) AS flen
+        FROM documents WHERE doc_id % 4 = 0
+    ), vid AS (
+        SELECT 'media://vid/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+               'fake_video' AS kind, 'success' AS status,
+               CAST(NULL AS VARCHAR) AS message,
+               flen AS width, CAST(1 AS INTEGER) AS height, n AS n_frames,
+               CAST(10 + length(CAST(n AS VARCHAR)) + length(CAST(flen AS VARCHAR))
+                    + n * flen AS BIGINT) AS n_bytes,
+               (SELECT CAST(SUM((v.doc_id * {_VID_A} + r.range * {_VID_B})
+                                % {_VID_MOD}) AS DOUBLE)
+                       / (((v.n + 1) // 2) * v.flen)
+                FROM range(6 * 31) r
+                WHERE r.range < v.n * v.flen
+                  AND (r.range // v.flen) % 2 = 0) AS mean_intensity
+        FROM v
+    )
+    SELECT * FROM img UNION ALL SELECT * FROM vid
+"""
+
+QUERIES = {"multimodal_features": multimodal_features}
+ORACLES = {"multimodal_features": _MULTIMODAL_ORACLE}
 
 
 def make_fake_image(width: int, height: int, seed: int) -> bytes:

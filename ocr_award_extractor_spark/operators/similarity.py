@@ -29,6 +29,7 @@ QUANT = 10_000
 DIM = 64
 NEARDUP_THRESHOLD = 0.35
 TOP_K = 10
+IVF_K = 8  # coarse centroids; deterministic = embeddings of vec_id 0..K-1
 
 # deterministic pseudo-random hyperplanes for LSH (shared with the oracle)
 LSH_PLANES = 8
@@ -140,6 +141,60 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid by
+    cosine (tie-break centroid id asc). Centroids are the first IVF_K
+    vectors (deterministic — a k-means step would slot in here unchanged).
+
+    Scale shape: centroids broadcast (no shuffle to score), argmax via
+    groupBy + max(struct) so Spark does map-side partial aggregation —
+    one shuffle of (vec_id → 8-byte struct), never a window sort. At 10⁹
+    vectors the assignment is written back bucketed by centroid so probes
+    prune partitions instead of re-scoring."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quant(F.col("embedding")).alias("qe")
+    )
+    cent = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("cv")
+    )
+    cos_c = _dot(F.col("qe"), F.col("cv")).cast("double") / F.sqrt(
+        (_norm2(F.col("qe")) * _norm2(F.col("cv"))).cast("double")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", cos_c.alias("cos_c"), "cid"
+    )
+    # maximize (cos_c, -cid): struct-max ⇒ partial-aggregatable argmax
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(F.struct(F.col("cos_c").alias("c"),
+                       (-F.col("cid")).alias("neg_cid"))).alias("b")
+    )
+    return best.select(
+        "vec_id", "label", (-F.col("b.neg_cid")).cast("long").alias("centroid")
+    )
+
+
+def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe (nprobe=1): top-k by cosine to the query (vec_id=0)
+    scanning ONLY the query's centroid cluster — the scale path vs the
+    brute-force ann_topk_cosine baseline. Deterministic, so the DuckDB
+    oracle reproduces the exact candidate set and cut line."""
+    assigned = ivf_assign(spark, sf_dir)
+    qcent = assigned.where(F.col("vec_id") == 0).select(
+        F.col("centroid").alias("qc")
+    )
+    cand = (
+        assigned.join(F.broadcast(qcent), F.col("centroid") == F.col("qc"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", "centroid")
+    )
+    scored = _with_query(spark, sf_dir).join(cand, "vec_id")
+    return (
+        scored.select("vec_id", "label", "centroid", "dot_q", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
 # ------------------------------------------------------------------ oracles
 _Q_CTE = f"""
     WITH qv AS (
@@ -182,9 +237,43 @@ _PAIR_CTE = f"""
 """
 
 
-def _lsh_bit_sql(p: int) -> str:
-    terms = " + ".join(f"e[{d + 1}] * ({LSH_WEIGHTS[p][d]})" for d in range(DIM))
+def _lsh_bit_sql(p: int, e: str = "e") -> str:
+    terms = " + ".join(f"{e}[{d + 1}] * ({LSH_WEIGHTS[p][d]})" for d in range(DIM))
     return f"CASE WHEN ({terms}) > 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[{a}[i] * {b}[i] FOR i IN range(1, {DIM} + 1)]), (x, y) -> x + y)"
+    )
+
+
+_IVF_ASSIGN_CTE = f"""
+    WITH ev AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+        FROM embeddings
+    ), cent AS (
+        SELECT vec_id AS cid, e AS c FROM ev WHERE vec_id < {IVF_K}
+    ), sc AS (
+        SELECT ev.vec_id, ev.label, ev.e, cent.cid,
+               {_dot_sql("ev.e", "cent.c")} AS d,
+               {_dot_sql("ev.e", "ev.e")} AS ne,
+               {_dot_sql("cent.c", "cent.c")} AS nc
+        FROM ev, cent
+    ), asg AS (
+        SELECT vec_id, label, e, cid,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY CAST(d AS DOUBLE) / sqrt(CAST(ne * nc AS DOUBLE)) DESC,
+                            cid ASC) AS rn
+        FROM sc
+    ), a1 AS (
+        SELECT vec_id, label, e, cid FROM asg WHERE rn = 1
+    )
+"""
 
 
 ORACLES = {
@@ -216,6 +305,50 @@ ORACLES = {
                {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
         FROM ev
     """,
+    # the bucketed scale path is itself deterministic (same hyperplanes both
+    # sides), so the recall-bounded candidate set is exactly reproducible
+    "lsh_neardup_pairs": f"""
+        WITH ev AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, e,
+                   {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
+            FROM ev
+        ), pairs AS (
+            SELECT a.vec_id AS va, bb.vec_id AS vb,
+                   {_dot_sql("a.e", "bb.e")} AS dot_ab,
+                   {_dot_sql("a.e", "a.e")} AS n2_a,
+                   {_dot_sql("bb.e", "bb.e")} AS n2_b
+            FROM b a JOIN b bb
+              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        )
+        SELECT va, vb,
+               CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) AS cos_sim
+        FROM pairs
+        WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) >= {NEARDUP_THRESHOLD}
+    """,
+    "ivf_assign": _IVF_ASSIGN_CTE + """
+        SELECT vec_id, label, CAST(cid AS BIGINT) AS centroid FROM a1
+    """,
+    "ivf_topk_cosine": _IVF_ASSIGN_CTE + f"""
+        , qq AS (
+            SELECT e AS q, cid AS qcid FROM a1 WHERE vec_id = 0
+        ), scored AS (
+            SELECT a1.vec_id, a1.label, CAST(a1.cid AS BIGINT) AS centroid,
+                   {_dot_sql("a1.e", "qq.q")} AS dot_q,
+                   {_dot_sql("a1.e", "a1.e")} AS n2_self,
+                   {_dot_sql("qq.q", "qq.q")} AS n2_query
+            FROM a1, qq
+            WHERE a1.cid = qq.qcid AND a1.vec_id <> 0
+        )
+        SELECT vec_id, label, centroid, dot_q,
+               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self * n2_query AS DOUBLE)) AS cos_sim
+        FROM scored
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+    """,
 }
 
 QUERIES = {
@@ -223,5 +356,7 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "lsh_buckets": lsh_buckets,
-    "lsh_neardup_pairs": lsh_neardup_pairs,   # rows-only: recall-bounded scale path
+    "lsh_neardup_pairs": lsh_neardup_pairs,
+    "ivf_assign": ivf_assign,
+    "ivf_topk_cosine": ivf_topk_cosine,
 }

@@ -34,3 +34,52 @@ def test_media_deterministic_across_partitions(spark):
     a = sorted(map(tuple, extract_media_features(media.repartition(1)).collect()))
     b = sorted(map(tuple, extract_media_features(media.repartition(7)).collect()))
     assert a == b
+
+
+def test_media_from_documents_closed_form(spark):
+    """The derived media table's decode output matches the closed form the
+    DuckDB oracle computes (multimodal.py:_MULTIMODAL_ORACLE)."""
+    from ocr_award_extractor_spark.operators.multimodal import (
+        _IMG_A, _IMG_B, _IMG_MOD, multimodal_features,
+    )
+
+    got = {r["url"]: r for r in multimodal_features(spark, "/root/testdata/sf0.001").collect()}
+
+    # doc 3: 3%25 != 24 → good image, w=8+3%9=11, h=8+3%7=11
+    r = got["media://img/00000003"]
+    assert (r["status"], r["width"], r["height"]) == ("success", 11, 11)
+    expect = sum((3 * _IMG_A + i * _IMG_B) % _IMG_MOD for i in range(121)) / 121
+    assert abs(r["mean_intensity"] - expect) < 1e-12
+    assert r["n_bytes"] == len(b"FAKEIMG:11:11:") + 121
+
+    # doc 24: truncated image → error row with precise message
+    r = got["media://img/00000024"]
+    assert r["status"] == "error" and r["width"] is None
+    assert "truncated image" in r["message"]
+
+    # doc 4: video present, frame-sampled mean over frames 0,2,...
+    r = got["media://vid/00000004"]
+    assert (r["kind"], r["n_frames"]) == ("fake_video", 2 + 4 % 5)
+    assert r["status"] == "success" and r["mean_intensity"] is not None
+
+    # doc 1 has no video
+    assert "media://vid/00000001" not in got
+
+
+def test_ivf_probe_subset_of_bruteforce(spark):
+    """IVF top-k (nprobe=1) returns vectors from exactly one centroid's
+    cluster, each scored identically to the brute-force baseline."""
+    from ocr_award_extractor_spark.operators.similarity import (
+        ann_topk_cosine, ivf_assign, ivf_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assign = {r["vec_id"]: r["centroid"] for r in ivf_assign(spark, sf).collect()}
+    ivf = ivf_topk_cosine(spark, sf).collect()
+    assert len({r["centroid"] for r in ivf}) == 1
+    assert all(assign[r["vec_id"]] == r["centroid"] for r in ivf)
+
+    brute = {r["vec_id"]: r["cos_sim"] for r in ann_topk_cosine(spark, sf).collect()}
+    for r in ivf:
+        if r["vec_id"] in brute:
+            assert r["cos_sim"] == brute[r["vec_id"]]  # exact, quantized math
