@@ -84,6 +84,66 @@ def windowed_event_counts(
     )
 
 
+DEDUP_OUT_SCHEMA = "url string, first_ts timestamp"
+DEDUP_STATE_SCHEMA = "seen int"
+
+
+def _dedup_first_seen_fn(key, pdfs, state):
+    """applyInPandasWithState kernel: one group per url; the FIRST
+    microbatch that sees the url emits one row (earliest warc_ts within
+    the batch), every later batch is swallowed — cross-batch exact dedup."""
+    import pandas as pd
+
+    if state.exists:
+        for _ in pdfs:   # drain: already emitted in an earlier batch
+            pass
+        return iter(())
+    best = None
+    for pdf in pdfs:
+        ts = pdf["warc_ts"].min()
+        best = ts if best is None or ts < best else best
+    state.update((1,))
+    return iter([pd.DataFrame({"url": [key[0]], "first_ts": [best]})])
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+):
+    """Custom STATEFUL streaming operator: exact URL dedup across
+    microbatches via applyInPandasWithState — the streaming spelling of
+    dedup_exact for a continuously-arriving crawl. State is one tiny row
+    per distinct url; at 10¹²-doc scale run with the RocksDB state store
+    provider and shard by a url-hash prefix, or add a watermark-based
+    state TTL if the crawl revisit horizon is bounded. Returns the started
+    query writing first-occurrences to a memory sink named 'dedup_urls'."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ocr_award_extractor_spark.operators.webify import PAGE_SCHEMA
+
+    reader = spark.readStream.schema(PAGE_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(input_dir).select("url", "warc_ts")
+    deduped = pages.groupBy("url").applyInPandasWithState(
+        _dedup_first_seen_fn,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("memory").queryName("dedup_urls")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_counts_available_now(
     spark: SparkSession, events_dir: str, checkpoint_dir: str
 ) -> DataFrame:
@@ -105,4 +165,5 @@ def run_windowed_counts_available_now(
 
 
 __all__ = ["stream_extract", "windowed_event_counts",
-           "run_windowed_counts_available_now", "OUT_SCHEMA"]
+           "run_windowed_counts_available_now", "stream_dedup_first_seen",
+           "OUT_SCHEMA"]

@@ -52,3 +52,40 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, want.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicate urls arriving in a LATER
+    microbatch are suppressed (state carries across batches)."""
+    from datetime import datetime, timedelta
+
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        stream_dedup_first_seen,
+    )
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    t0 = datetime(2024, 3, 1)
+
+    def page(u, ts_off):
+        return ("https://x.example/" + u, t0 + timedelta(hours=ts_off),
+                b"<html></html>", "", "en")
+
+    cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+    # batch 1: a, b, c — batch 2: b, c (dups, later ts), d (new)
+    spark.createDataFrame([page("a", 0), page("b", 1), page("c", 2)], cols) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame([page("b", 5), page("c", 6), page("d", 7)], cols) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+
+    q = stream_dedup_first_seen(
+        spark, str(src) + "/*", str(tmp_path / "ck3"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    assert q.lastProgress["batchId"] >= 1  # state really crossed batches
+
+    got = {r["url"]: r["first_ts"] for r in spark.table("dedup_urls").collect()}
+    assert set(got) == {f"https://x.example/{u}" for u in "abcd"}
+    # first-seen timestamp wins for the duplicated urls
+    assert got["https://x.example/b"] == t0 + timedelta(hours=1)
+    assert got["https://x.example/c"] == t0 + timedelta(hours=2)
