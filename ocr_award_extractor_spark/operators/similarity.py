@@ -147,10 +147,11 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors (deterministic — a k-means step would slot in here unchanged).
 
     Scale shape: centroids broadcast (no shuffle to score), argmax via
-    groupBy + max(struct) so Spark does map-side partial aggregation —
-    one shuffle of (vec_id → 8-byte struct), never a window sort. At 10⁹
-    vectors the assignment is written back bucketed by centroid so probes
-    prune partitions instead of re-scoring."""
+    groupBy + max(struct) — plans as a two-phase SortAggregate with
+    partial_max BELOW the exchange, so the shuffle carries one row per
+    vec_id (never IVF_K candidates, never a window sort). At 10⁹ vectors
+    the assignment is written back bucketed by centroid so probes prune
+    partitions instead of re-scoring."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _quant(F.col("embedding")).alias("qe")
     )

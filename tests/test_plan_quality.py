@@ -93,3 +93,30 @@ def test_topk_uses_take_ordered(spark):
 
     plan = _plan(ann_topk_cosine(spark, "/root/testdata/sf0.001"))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivf_assign_broadcasts_centroids_and_partial_aggs(spark):
+    """IVF assignment: centroids broadcast (no shuffle to score), and the
+    argmax is a partial-aggregatable hash aggregate — exactly one exchange,
+    keyed on the group, never a window sort."""
+    from ocr_award_extractor_spark.operators.similarity import ivf_assign
+
+    plan = _plan(ivf_assign(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # struct-max buffers aren't hash-agg-compatible so Spark picks
+    # SortAggregate — what matters is the PARTIAL phase below the exchange
+    # (shuffle carries one row per vec_id, not 8 candidates)
+    assert "partial_max" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_multimodal_scan_reads_only_doc_id(spark):
+    """The derived media stage must prune everything but doc_id at the
+    documents scan — never drag text/n_chars through the UDF."""
+    from ocr_award_extractor_spark.operators.multimodal import multimodal_features
+
+    plan = _plan(multimodal_features(spark, "/root/testdata/sf0.001"))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert "doc_id" in scan_lines[0]
+    assert "text" not in scan_lines[0] and "n_chars" not in scan_lines[0], scan_lines[0]
