@@ -67,6 +67,23 @@ def _extract_pipeline_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF leg end-to-end byte-identity: documents re-emitted as real PDFs
+    (Tj show-texts, FlateDecode on even docs) → %PDF- magic routing →
+    content-stream text extraction. The oracle reconstructs the identical
+    12-word chunking, so md5(ocr_text) pins the whole PDF path."""
+    from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+    from ocr_award_extractor_spark.operators.webify import pdfify_documents
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = extract_documents(pdfify_documents(docs))
+    return out.select(
+        "url", "status", "strategy", F.md5("ocr_text").alias("text_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def _model_slot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the pluggable batch-inference slot (O20/O21/O19) over the
     flagship pipeline output with the deterministic fake model."""
@@ -86,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(relational.QUERIES)
     q["extract_pipeline_text"] = _extract_pipeline_text
     q["extract_pipeline_fields"] = _extract_pipeline_fields
+    q["pdf_extract_text"] = _pdf_extract_text
     q["model_slot_extract"] = _model_slot_extract
     try:
         from ocr_award_extractor_spark.operators import (
@@ -113,6 +131,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'https://' || source || '.example/' || lang || '/doc'
                  || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
                'success' AS status,
+               md5(regexp_replace(
+                     regexp_replace(text, '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'),
+                     chr(10) || '(.)$', ' \1')) AS text_md5,
+               CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT)
+                 - CAST(len(string_split(text, ' ')) % 12 = 1
+                        AND len(string_split(text, ' ')[-1]) < 2 AS BIGINT) AS n_lines
+        FROM documents
+    """
+    # PDF leg: same reconstruction, '.pdf' url + 'pdf' strategy
+    o["pdf_extract_text"] = r"""
+        SELECT 'https://' || source || '.example/' || lang || '/doc'
+                 || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.pdf' AS url,
+               'success' AS status, 'pdf' AS strategy,
                md5(regexp_replace(
                      regexp_replace(text, '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'),
                      chr(10) || '(.)$', ' \1')) AS text_md5,

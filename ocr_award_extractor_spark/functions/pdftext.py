@@ -31,6 +31,10 @@ import zlib
 PDF_MAGIC = b"%PDF-"
 
 _STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# /Length-aware location: binary stream bytes may legitimately END in 0x0D,
+# which the \r?\n in the regex above would swallow (truncating e.g. a Flate
+# stream by one byte) — the declared length slices exactly.
+_STREAM_HDR = re.compile(rb"/Length\s+(\d+)[^>]*>>\s*stream\r?\n", re.DOTALL)
 _TEXT_BLOCK = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _PDF_STRING = rb"\((?:\\.|[^\\()])*\)"
 _SHOW_TJ = re.compile(_PDF_STRING + rb"\s*Tj")
@@ -77,12 +81,24 @@ def _string_content(literal: bytes) -> str:
     return _decode_text(_unescape(literal[1:-1]))
 
 
+def _iter_streams(data: bytes):
+    """Content-stream payloads in document order: exact /Length slices when
+    declared (the correct way — stream bytes are arbitrary binary), else
+    the stream…endstream regex scan (indirect-/missing-Length fallback)."""
+    found = False
+    for m in _STREAM_HDR.finditer(data):
+        found = True
+        yield data[m.end():m.end() + int(m.group(1))]
+    if not found:
+        for m in _STREAM.finditer(data):
+            yield m.group(1)
+
+
 def extract_pdf_lines(data: bytes) -> list[str]:
     """All text lines of a simple PDF, in content-stream order. Empty list
     when nothing extractable (caller turns that into an error row)."""
     lines: list[str] = []
-    for m in _STREAM.finditer(data):
-        payload = m.group(1)
+    for payload in _iter_streams(data):
         try:
             content = zlib.decompress(payload)
         except zlib.error:

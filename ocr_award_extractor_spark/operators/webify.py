@@ -79,3 +79,40 @@ def webify_documents(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", "text", "lang", "source")
         .mapInPandas(_wrap_batch, PAGE_SCHEMA)
     )
+
+
+def pdf_wrap_row(doc_id: int, text: str, lang: str, source: str) -> dict:
+    """Same document as a machine-generated PDF: one Tj show-text per
+    12-word line, FlateDecode for every even doc (both decode paths).
+    Extraction must return the lines byte-identically, so the DuckDB
+    oracle for the PDF leg is the SAME text reconstruction as the HTML
+    one — only the url suffix and strategy differ."""
+    from ocr_award_extractor_spark.functions.pdftext import make_simple_pdf
+
+    lines = text_to_lines(text)
+    return {
+        "url": f"https://{source}.example/{lang}/doc{doc_id:08d}.pdf",
+        "warc_ts": _EPOCH + timedelta(seconds=(doc_id * 9973) % (30 * 86400)),
+        "html": make_simple_pdf(lines, compress=doc_id % 2 == 0),
+        "text": "\n".join(lines),
+        "lang": lang,
+    }
+
+
+def _pdf_wrap_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = [pdf_wrap_row(int(r.doc_id), r.text, r.lang, r.source)
+               for r in pdf.itertuples(index=False)]
+        yield pd.DataFrame(out, columns=[f.name for f in PAGE_SCHEMA.fields])
+
+
+def pdfify_documents(docs: DataFrame) -> DataFrame:
+    """documents → PDF-payload pages (url, warc_ts, html=pdf bytes, text,
+    lang); the pipeline routes on the %PDF- magic, nothing else changes."""
+    from ocr_award_extractor_spark.config import ensure_package_on_workers
+
+    ensure_package_on_workers(docs.sparkSession)
+    return (
+        docs.select("doc_id", "text", "lang", "source")
+        .mapInPandas(_pdf_wrap_batch, PAGE_SCHEMA)
+    )

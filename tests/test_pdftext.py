@@ -60,3 +60,18 @@ def test_pdf_through_spark_pipeline(spark):
     assert got["pdf1"]["winner"] == ["张三"]
     assert got["html1"]["strategy"] == "strict"
     assert got["html1"]["award_level"] == "二等奖"
+
+
+def test_flate_stream_ending_in_carriage_return():
+    """Regression: compressed stream bytes ending in 0x0D were truncated by
+    the \\r?\\n in the endstream regex; /Length-aware slicing must win."""
+    from ocr_award_extractor_spark.functions.pdftext import (
+        _STREAM_HDR, extract_pdf_lines, make_simple_pdf,
+    )
+
+    lines = ["probe 189999"]   # found by search: flate stream ends in 0x0D
+    pdf = make_simple_pdf(lines, compress=True)
+    m = _STREAM_HDR.search(pdf)
+    body = pdf[m.end():m.end() + int(m.group(1))]
+    assert body.endswith(b"\r"), "fixture no longer triggers the edge case"
+    assert extract_pdf_lines(pdf) == lines
