@@ -124,6 +124,50 @@ def extract_documents(df: DataFrame, *, salt_partitions: int | None = None) -> D
     return cols.mapInPandas(extract_batch, OUT_SCHEMA)
 
 
+def extract_documents_tiered(
+    df: DataFrame,
+    *,
+    salt_partitions: int,
+    jumbo_partitions: int | None = None,
+    threshold_bytes: int | None = None,
+    jumbo_quantile: float = 0.99,
+) -> DataFrame:
+    """Two-tier skew routing (SURVEY.md §4): salting equalizes EXPECTED
+    per-partition load, but one 500 MB page still pins a single task at the
+    stage tail. Documents above the html-size threshold are routed to their
+    own round-robin partitions (~1 jumbo per task, scheduled alongside the
+    salted stage), so the straggler tail is bounded by ONE jumbo, not a
+    partition's worth.
+
+    ``threshold_bytes=None`` computes the ``jumbo_quantile`` cut with
+    percentile_approx — locally that scans html lengths; on a real table
+    store an ``n_bytes`` column (or use Iceberg column stats) so the
+    pre-pass reads one int column, and pass the cut in explicitly. Results
+    are identical to :func:`extract_documents` (row-wise op; routing only
+    changes physical layout).
+    """
+    from ocr_award_extractor_spark.config import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    cols = df.select(*_IN_COLS)
+    if threshold_bytes is None:
+        threshold_bytes = cols.select(
+            F.percentile_approx(F.length("html"), jumbo_quantile).alias("t")
+        ).collect()[0]["t"]
+    is_jumbo = F.length("html") > F.lit(int(threshold_bytes))
+    normal = (
+        cols.where(~is_jumbo)
+        .repartition(salt_partitions, F.xxhash64("url", F.lit(SALT_SEED)))
+        .mapInPandas(extract_batch, OUT_SCHEMA)
+    )
+    jumbo = (
+        cols.where(is_jumbo)
+        .repartition(jumbo_partitions or salt_partitions)   # round-robin spread
+        .mapInPandas(extract_batch, OUT_SCHEMA)
+    )
+    return normal.unionByName(jumbo)
+
+
 def award_summary(extracted: DataFrame) -> DataFrame:
     """Flagship reporting query: award-level distribution of successful
     extractions (the groupBy-status summary of certificate_ocr.py:461-463,
