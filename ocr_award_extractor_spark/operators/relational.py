@@ -248,7 +248,54 @@ def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the training-pipeline staple): per user,
+    a new session starts when the inter-event gap exceeds SESSION_GAP_S.
+    lag → boundary flag → running sum = session_seq → re-aggregate. One
+    shuffle on user_id serves BOTH windows and the final groupBy (same
+    key ⇒ Catalyst reuses the exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the ltz hop is exact
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    ns = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    flagged = ev.select("user_id", "event_id", "ts", "value", ns.alias("ns"))
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 ORACLES = {
+    "sessionize_events": f"""
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM o
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS t_start, max(ts) AS t_end,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_seq
+    """,
     "count_by_lang": """
         SELECT lang, count(*) AS docs FROM documents GROUP BY lang
     """,
@@ -384,4 +431,5 @@ QUERIES = {
     "first_keyword_hit": first_keyword_hit,
     "parse_props_json": parse_props_json,
     "docs_to_json": docs_to_json,
+    "sessionize_events": sessionize_events,
 }

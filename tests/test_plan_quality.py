@@ -120,3 +120,16 @@ def test_multimodal_scan_reads_only_doc_id(spark):
     assert scan_lines, plan
     assert "doc_id" in scan_lines[0]
     assert "text" not in scan_lines[0] and "n_chars" not in scan_lines[0], scan_lines[0]
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization: the user_id hash partitioning must serve both
+    window stages AND the final (user_id, session_seq) aggregate — exactly
+    one shuffle in the whole plan."""
+    from ocr_award_extractor_spark.operators.relational import sessionize_events
+
+    plan = _plan(sessionize_events(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("===")[0] if "===" in plan else plan
+    n_exchanges = sum(1 for ln in tree.splitlines()
+                      if ln.strip().endswith("Exchange") or ") Exchange" in ln)
+    assert n_exchanges == 1, plan
