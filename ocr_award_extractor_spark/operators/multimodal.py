@@ -236,8 +236,95 @@ _MULTIMODAL_ORACLE = f"""
     SELECT * FROM img UNION ALL SELECT * FROM vid
 """
 
-QUERIES = {"multimodal_features": multimodal_features}
-ORACLES = {"multimodal_features": _MULTIMODAL_ORACLE}
+THUMB_W, THUMB_H = 8, 8
+
+THUMB_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("status", StringType()),
+    StructField("thumb_w", IntegerType()),
+    StructField("thumb_h", IntegerType()),
+    StructField("thumb_mean", DoubleType()),
+    StructField("thumb_sum", LongType()),
+])
+
+
+def resize_nearest(px: np.ndarray, w: int, h: int,
+                   tw: int = THUMB_W, th: int = THUMB_H) -> np.ndarray:
+    """Nearest-neighbor downsample (the deterministic stand-in for a real
+    cv2.resize): target pixel (j,i) samples source (floor(j*h/th),
+    floor(i*w/tw)) — integer math only, so the DuckDB oracle reproduces
+    every sampled position."""
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    return px.reshape(h, w)[np.ix_(ys, xs)]
+
+
+def _thumb_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            rec = {"url": row.url, "status": "success",
+                   "thumb_w": THUMB_W, "thumb_h": THUMB_H,
+                   "thumb_mean": None, "thumb_sum": None}
+            try:
+                meta = _decode_fake_image(row.payload)
+                w, h = meta["width"], meta["height"]
+                px = np.frombuffer(
+                    row.payload.split(b":", 3)[3], dtype=np.uint8)
+                t = resize_nearest(px.astype(np.int64), w, h)
+                rec.update(thumb_mean=float(t.mean()), thumb_sum=int(t.sum()))
+            except Exception:
+                rec.update(status="error", thumb_w=None, thumb_h=None)
+            out.append(rec)
+        yield pd.DataFrame(out, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+
+def multimodal_thumbnails(spark, sf_dir: str) -> DataFrame:
+    """Resize leg: derived media images → nearest-neighbor 8×8 thumbnails
+    (mean + exact pixel sum). Truncated payloads stay error rows."""
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs).where(F.col("kind") == "fake_image")
+    return media.mapInPandas(_thumb_batch, THUMB_SCHEMA)
+
+
+_THUMB_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INTEGER) AS w,
+               CAST(8 + doc_id % 7 AS INTEGER) AS h,
+               doc_id % 25 = 24 AS bad
+        FROM documents
+    ), sampled AS (
+        SELECT d.doc_id,
+               SUM((d.doc_id * {_IMG_A}
+                    + (((r.range // {THUMB_W}) * d.h // {THUMB_H}) * d.w
+                       + ((r.range % {THUMB_W}) * d.w // {THUMB_W})) * {_IMG_B})
+                   % {_IMG_MOD}) AS s
+        FROM d, range({THUMB_W} * {THUMB_H}) r
+        WHERE NOT d.bad
+        GROUP BY d.doc_id
+    )
+    SELECT 'media://img/' || lpad(CAST(d.doc_id AS VARCHAR), 8, '0') AS url,
+           CASE WHEN d.bad THEN 'error' ELSE 'success' END AS status,
+           CASE WHEN NOT d.bad THEN {THUMB_W} END AS thumb_w,
+           CASE WHEN NOT d.bad THEN {THUMB_H} END AS thumb_h,
+           CAST(s AS DOUBLE) / {THUMB_W * THUMB_H} AS thumb_mean,
+           CAST(s AS BIGINT) AS thumb_sum
+    FROM d LEFT JOIN sampled USING (doc_id)
+"""
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_thumbnails": multimodal_thumbnails,
+}
+ORACLES = {
+    "multimodal_features": _MULTIMODAL_ORACLE,
+    "multimodal_thumbnails": _THUMB_ORACLE,
+}
 
 
 def make_fake_image(width: int, height: int, seed: int) -> bytes:

@@ -83,3 +83,18 @@ def test_ivf_probe_subset_of_bruteforce(spark):
     for r in ivf:
         if r["vec_id"] in brute:
             assert r["cos_sim"] == brute[r["vec_id"]]  # exact, quantized math
+
+
+def test_resize_nearest_closed_form():
+    """Nearest-neighbor resize samples exactly floor(j*h/th), floor(i*w/tw)."""
+    import numpy as np
+
+    from ocr_award_extractor_spark.operators.multimodal import resize_nearest
+
+    w, h = 11, 9
+    px = np.arange(w * h, dtype=np.int64)
+    t = resize_nearest(px, w, h, tw=8, th=8)
+    assert t.shape == (8, 8)
+    for j in range(8):
+        for i in range(8):
+            assert t[j, i] == (j * h // 8) * w + (i * w // 8)
