@@ -192,7 +192,7 @@ BENCH_QUERIES = [
     "jaccard_adjacent_pairs", "token_count", "quality_score", "lang_guess",
     "doc_fingerprint", "cosine_to_query", "ann_topk_cosine",
     "lsh_buckets", "lsh_neardup_pairs", "ivf_assign", "ivf_topk_cosine",
-    "multimodal_features", "sessionize_events",
+    "multimodal_features", "multimodal_thumbnails", "sessionize_events",
 ]
 # embedding_neardup_pairs (the O(n²) brute-force baseline) is oracle-checked
 # at sf0.01 but NOT benched at sf0.1 — 2M pair folds ≈ 80 s is exactly the
