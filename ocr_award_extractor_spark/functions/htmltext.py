@@ -166,15 +166,162 @@ class _Segmenter(HTMLParser):
         self._flush()
 
 
-def segment_html(html_str: str) -> list[Segment]:
-    """Parse HTML into document-order text segments. Never raises on
-    malformed markup (HTMLParser is tolerant by construction)."""
+def segment_html_stdlib(html_str: str) -> list[Segment]:
+    """Reference tokenizer: stdlib HTMLParser driving the segmenter.
+    Never raises on malformed markup (HTMLParser is tolerant by
+    construction). The fast scanner below must be event-equal to this on
+    every document it accepts — pinned by tests/test_fast_segmenter.py."""
     seg = _Segmenter()
     try:
         seg.feed(html_str)
         seg.close()
     except Exception:  # pragma: no cover — stdlib parser is non-raising
         pass
+    return [s for s in seg.segments if not s.killed]
+
+
+# --------------------------------------------------------------------------
+# Fast tokenizer: a flat regex scanner emitting the SAME event stream into
+# the SAME _Segmenter handlers, ~2× the stdlib parser (which spends its
+# time in goahead/updatepos/per-event dispatch). Fidelity strategy:
+# faithful-or-bail — any construct whose stdlib treatment is subtle
+# (quoted '>' in attribute values, stray '<' in text, bogus end tags,
+# marked sections, unterminated markup) raises _FastBail and the document
+# reruns on the stdlib path, so output can differ ONLY if the scanner
+# mis-handles a construct it claims to handle, which the dual-run equality
+# tests + golden suite pin. Attribute lists are parsed with html.parser's
+# OWN attrfind_tolerant (values entity-unescaped identically) and are
+# skipped entirely when the tag carries no class/id/style — the only
+# attributes the segmenter reads.
+
+from html import unescape as _unescape  # noqa: E402  (html.parser's own)
+from html.parser import attrfind_tolerant as _attrfind  # noqa: E402
+
+
+class _FastBail(Exception):
+    pass
+
+
+_FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# start tag with optionally-quoted attr blob; quotes may not contain <>
+# (html.parser allows a quoted '>' — that shape bails to stdlib)
+_FAST_START = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)((?:\"[^\"<>]*\"|'[^'<>]*'|[^<>'\"])*)>"
+)
+_FAST_BOILER_HINT = re.compile(r"(?i)(?:^|[\s/'\"])(?:class|id|style)\s*=")
+_FAST_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+
+
+def _fast_attrs(blob: str):
+    """attrfind_tolerant loop over the attr blob (leading space supplies
+    the regex's lookbehind, mirroring the whitespace tagfind consumed).
+    Returns (attrs, unconsumed-remainder) — caller bails unless the
+    remainder is '' (normal tag) or '/' (self-closing)."""
+    attrs = []
+    blob2 = " " + blob.strip()
+    k = 1
+    while k < len(blob2):
+        am = _attrfind.match(blob2, k)
+        if not am or am.end() == k:
+            break
+        name, rest, val = am.group(1, 2, 3)
+        if not rest:
+            val = None
+        elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+            val = val[1:-1]
+        if val and "&" in val:
+            val = _unescape(val)
+        attrs.append((name.lower(), val))
+        k = am.end()
+    return attrs, blob2[k:].strip()
+
+
+def _fast_scan(rd: str, seg: _Segmenter) -> None:
+    n = len(rd)
+    i = 0
+    find = rd.find
+    hd = seg.handle_data
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            chunk = rd[i:n]
+            if chunk:
+                hd(_unescape(chunk) if "&" in chunk else chunk)
+            break
+        if j > i:
+            chunk = rd[i:j]
+            hd(_unescape(chunk) if "&" in chunk else chunk)
+        c = rd[j + 1:j + 2]
+        if c.isalpha():
+            m = _FAST_START.match(rd, j)
+            if not m:
+                raise _FastBail
+            tag = m.group(1).lower()
+            blob = m.group(2)
+            endpos = m.end()
+            if _FAST_BOILER_HINT.search(blob):
+                attrs, rem = _fast_attrs(blob)
+            elif blob.endswith("/"):
+                # trailing slash: self-closing, unless it is the tail of an
+                # unquoted attr value (html.parser keeps it in the value)
+                attrs = []
+                rem = _fast_attrs(blob)[1] if "=" in blob else "/"
+            else:
+                attrs, rem = [], ""
+            if rem == "":
+                seg.handle_starttag(tag, attrs)
+                if tag in _FAST_CDATA_CLOSE:   # script/style: raw till close
+                    cm = _FAST_CDATA_CLOSE[tag].search(rd, endpos)
+                    if not cm:
+                        raise _FastBail
+                    if cm.start() > endpos:
+                        hd(rd[endpos:cm.start()])
+                    seg.handle_endtag(tag)
+                    endpos = cm.end()
+            elif rem == "/":
+                seg.handle_startendtag(tag, attrs)
+            else:
+                raise _FastBail   # junk in tag: stdlib demotes it to data
+            i = endpos
+        elif c == "/":
+            m = _FAST_END.match(rd, j)
+            if not m:
+                raise _FastBail
+            seg.handle_endtag(m.group(1).lower())
+            i = m.end()
+        elif c == "!":
+            if rd.startswith("<!--", j):
+                e = find("-->", j + 4)
+                if e < 0:
+                    raise _FastBail
+                i = e + 3
+            else:   # doctype/decl — ignored; '[' would mean a marked section
+                e = find(">", j)
+                if e < 0 or "[" in rd[j:e]:
+                    raise _FastBail
+                i = e + 1
+        elif c == "?":
+            e = find(">", j)
+            if e < 0:
+                raise _FastBail
+            i = e + 1
+        else:       # stray '<' in text — stdlib has bespoke recovery
+            raise _FastBail
+    return None
+
+
+def segment_html(html_str: str) -> list[Segment]:
+    """Parse HTML into document-order text segments: fast scanner first,
+    stdlib HTMLParser whenever the scanner declines the document."""
+    seg = _Segmenter()
+    try:
+        _fast_scan(html_str, seg)
+        seg._flush()
+    except _FastBail:
+        return segment_html_stdlib(html_str)
     return [s for s in seg.segments if not s.killed]
 
 
