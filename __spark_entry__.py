@@ -67,6 +67,25 @@ def _extract_pipeline_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_pipeline_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jumbo-routed (two-tier) spelling of the flagship pipeline. Shares
+    the extract_pipeline_text oracle: routing is a physical-layout choice,
+    so the result set must be identical — DuckDB proves it independently
+    of the plain-pipeline test."""
+    from ocr_award_extractor_spark.operators.extract_pipeline import (
+        extract_documents_tiered,
+    )
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    pages = webify_documents(load_table(spark, sf_dir, "documents"))
+    out = extract_documents_tiered(pages, salt_partitions=16, jumbo_quantile=0.97)
+    return out.select(
+        "url", "status", F.md5("ocr_text").alias("text_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF leg end-to-end byte-identity: documents re-emitted as real PDFs
     (Tj show-texts, FlateDecode on even docs) → %PDF- magic routing →
@@ -102,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(relational.QUERIES)
     q["extract_pipeline_text"] = _extract_pipeline_text
+    q["extract_pipeline_tiered"] = _extract_pipeline_tiered
     q["extract_pipeline_fields"] = _extract_pipeline_fields
     q["pdf_extract_text"] = _pdf_extract_text
     q["model_slot_extract"] = _model_slot_extract
@@ -139,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
                         AND len(string_split(text, ' ')[-1]) < 2 AS BIGINT) AS n_lines
         FROM documents
     """
+    # tiered (jumbo-routed) spelling must produce the identical result set
+    o["extract_pipeline_tiered"] = o["extract_pipeline_text"]
     # PDF leg: same reconstruction, '.pdf' url + 'pdf' strategy
     o["pdf_extract_text"] = r"""
         SELECT 'https://' || source || '.example/' || lang || '/doc'
