@@ -216,14 +216,19 @@ _FAST_CDATA_CLOSE = {
 
 
 def _fast_attrs(blob: str):
-    """attrfind_tolerant loop over the attr blob (leading space supplies
-    the regex's lookbehind, mirroring the whitespace tagfind consumed).
+    """attrfind_tolerant loop over the attr blob. The leading space
+    supplies the regex's lookbehind (mirroring the whitespace tagfind
+    consumed); the trailing '>' sentinel restores the context attrfind's
+    `/(?!>)` tail sees in rawdata — without it a self-closing slash at
+    blob end is swallowed as inter-attr junk (<p class="x"/> would turn
+    into an unclosed suppressor; caught by the attr-shape fuzz).
     Returns (attrs, unconsumed-remainder) — caller bails unless the
     remainder is '' (normal tag) or '/' (self-closing)."""
     attrs = []
-    blob2 = " " + blob.strip()
+    blob2 = " " + blob.strip() + ">"
+    end = len(blob2) - 1
     k = 1
-    while k < len(blob2):
+    while k < end:
         am = _attrfind.match(blob2, k)
         if not am or am.end() == k:
             break
@@ -236,7 +241,7 @@ def _fast_attrs(blob: str):
             val = _unescape(val)
         attrs.append((name.lower(), val))
         k = am.end()
-    return attrs, blob2[k:].strip()
+    return attrs, blob2[k:end].strip()
 
 
 def _fast_scan(rd: str, seg: _Segmenter) -> None:

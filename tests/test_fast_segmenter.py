@@ -67,6 +67,8 @@ ADVERSARIAL = [
     "<style>.a{color:red}</style><p>styled</p>",
     "<p foo='bar'baz=qux>adjacent attrs</p>",
     "<p/ >odd slash</p>",
+    '<p><p class="nav"/>text </p>',        # self-closing boiler tag (regression:
+    "<a href=x/>unquoted slash value</a>",  # the '/' belongs to the value)
     "<p><![CDATA[raw]]></p>",                       # marked section → bail
     "\x00<p>control\x01chars</p>",
 ]
@@ -104,3 +106,47 @@ def test_fuzz_soup_equality(parts):
 @given(st.text(max_size=300))
 def test_fuzz_random_text_equality(doc):
     assert_equal_segmentation(doc)
+
+
+_attr_names = st.sampled_from(["class", "id", "style", "href", "data-x", "CLASS", "checked"])
+_attr_vals = st.sampled_from([
+    None, "nav", "sidebar", "display:none", "a&amp;b", "x/", "/", "a b",
+    "na&#118;", "", "x=y", "a'b",
+])
+_quote = st.sampled_from(['"', "'", ""])
+
+
+@st.composite
+def _tags(draw):
+    name = draw(st.sampled_from(["p", "div", "span", "a", "br", "nav", "x1"]))
+    attrs = []
+    for _ in range(draw(st.integers(0, 3))):
+        an = draw(_attr_names)
+        av = draw(_attr_vals)
+        if av is None:
+            attrs.append(an)
+        else:
+            q = draw(_quote)
+            if q == "" and (" " in av or av == ""):
+                q = '"'   # unquoted value can't hold spaces or be empty
+            attrs.append(f"{an}={q}{av}{q}")
+    selfclose = draw(st.booleans())
+    sep = draw(st.sampled_from([" ", "  ", "\n", "\t "]))
+    blob = (sep + sep.join(attrs)) if attrs else ""
+    return f"<{name}{blob}{'/' if selfclose else ''}>"
+
+
+_struct_atoms = st.one_of(
+    _tags(),
+    st.sampled_from(["</p>", "</div>", "</span>", "</a>", "</nav>", "text ",
+                     "词语 ", "&amp; ", "<!-- x -->", " "]),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_struct_atoms, min_size=1, max_size=30))
+def test_fuzz_attr_shapes_equality(parts):
+    """Attack the attr-parse and self-close logic specifically: random
+    attribute quoting/entities/slashes in generated tags must segment
+    identically on both paths."""
+    assert_equal_segmentation("".join(parts))
