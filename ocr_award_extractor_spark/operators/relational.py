@@ -259,10 +259,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     key ⇒ Catalyst reuses the exchange)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the ltz hop is exact
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    ns = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    # NTZ minus NTZ = day-time interval: timezone-free, so the boundary
+    # test is identical in ANY session tz (an ltz-epoch cast would shift
+    # across a DST transition in a non-UTC driver session)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    ns = F.when(
+        gap.isNull() | (gap > F.expr(f"INTERVAL {SESSION_GAP_S} SECOND")), 1
+    ).otherwise(0)
     flagged = ev.select("user_id", "event_id", "ts", "value", ns.alias("ns"))
     sess = flagged.withColumn(
         "session_seq",
