@@ -107,13 +107,24 @@ def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(data, columns=list(_OUT_COLS), copy=False)
 
 
-def extract_documents(df: DataFrame, *, salt_partitions: int | None = None) -> DataFrame:
+def extract_documents(
+    df: DataFrame,
+    *,
+    salt_partitions: int | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
     """Attach the extraction stage to a documents DataFrame.
 
     ``salt_partitions``: explicit shuffle width for the skew-defusing
     repartition; None keeps the scan partitioning (cheapest — use when the
     input is already well-balanced, e.g. the small fixture). At cluster
     scale pass ~2-4× total cores so jumbo-doc stragglers stay short.
+
+    ``metrics``: optional dict to receive live Spark accumulators
+    ('docs', 'errors') — the O25 stage-metrics analog of the reference's
+    per-file logging (certificate_ocr.py:436,:461-464). Accumulators
+    update as tasks finish, so a monitoring thread sees progress DURING
+    the stage, not after (lineage rows carry the committed truth).
     """
     from ocr_award_extractor_spark.config import ensure_package_on_workers
 
@@ -121,7 +132,22 @@ def extract_documents(df: DataFrame, *, salt_partitions: int | None = None) -> D
     cols = df.select(*_IN_COLS)   # column pruning: html never flows past this stage
     if salt_partitions:
         cols = cols.repartition(salt_partitions, F.xxhash64("url", F.lit(SALT_SEED)))
-    return cols.mapInPandas(extract_batch, OUT_SCHEMA)
+    if metrics is None:
+        return cols.mapInPandas(extract_batch, OUT_SCHEMA)
+
+    sc = df.sparkSession.sparkContext
+    docs_acc = sc.accumulator(0)
+    err_acc = sc.accumulator(0)
+    metrics["docs"] = docs_acc
+    metrics["errors"] = err_acc
+
+    def counted(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for out in extract_batch(batches):
+            docs_acc.add(len(out))
+            err_acc.add(int((out["status"] == "error").sum()))
+            yield out
+
+    return cols.mapInPandas(counted, OUT_SCHEMA)
 
 
 def extract_documents_tiered(

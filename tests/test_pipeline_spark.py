@@ -128,3 +128,15 @@ def test_binary_dir_source_glob_and_extraction(spark, tmp_path):
     # bytes loaded via the source extract identically to the fixture truth
     for i, r in enumerate(rows):
         assert got[f"page{i}.html"]["ocr_text"] == r["text"]
+
+
+def test_stage_metrics_accumulators(spark):
+    """O25: live accumulators count processed docs and error rows, agreeing
+    with the materialized result."""
+    docs = load_fixture(spark, n_docs=150)
+    metrics = {}
+    out = extract_documents(docs, metrics=metrics)
+    rows = out.collect()
+    n_err = sum(1 for r in rows if r["status"] == "error")
+    assert metrics["docs"].value == 150
+    assert metrics["errors"].value == n_err > 0
