@@ -279,7 +279,44 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOIN_SALT_R = 8
+
+
+def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key-salting for a skewed shuffle join (the pre-AQE staple,
+    still needed when one key dominates beyond AQE's split granularity):
+    every fact row gets a deterministic salt in [0,R); the dim side is
+    replicated ×R; the join key becomes (key, salt) so one hot key spreads
+    over R reducers. The result provably equals the unsalted join — the
+    oracle is the plain SQL join. At scale R is sized to the hottest key's
+    row share; the dim replication is a broadcast-sized blowup, not a
+    fact-table one."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fact = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(JOIN_SALT_R))
+    )
+    copies = spark.range(JOIN_SALT_R).select(F.col("id").cast("long").alias("salt"))
+    dim = o.crossJoin(copies)
+    joined = fact.join(
+        dim, (fact["l_orderkey"] == dim["o_orderkey"]) & (fact["salt"] == dim["salt"])
+    )
+    return joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+    )
+
+
 ORACLES = {
+    "salted_skew_join_revenue": """
+        SELECT o.o_custkey, count(*) AS n_items,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    """,
     "sessionize_events": f"""
         WITH o AS (
             SELECT user_id, event_id, ts, value,
@@ -435,4 +472,5 @@ QUERIES = {
     "parse_props_json": parse_props_json,
     "docs_to_json": docs_to_json,
     "sessionize_events": sessionize_events,
+    "salted_skew_join_revenue": salted_skew_join_revenue,
 }

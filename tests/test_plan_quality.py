@@ -133,3 +133,42 @@ def test_sessionize_single_exchange(spark):
     n_exchanges = sum(1 for ln in tree.splitlines()
                       if ln.strip().endswith("Exchange") or ") Exchange" in ln)
     assert n_exchanges == 1, plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-located join: two tables bucketed by the join key into the same
+    bucket count must sort-merge join with ZERO exchanges — the shuffle
+    was paid once at write time."""
+    from ocr_award_extractor_spark.plans.bucketing import (
+        colocated_join, write_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", n_buckets=4)
+
+    # the sf0.001 dim is broadcast-sized; disable that to expose the
+    # bucketed shuffle-free sort-merge plan the big-table case would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        prev_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(spark, "b_lineitem", "b_orders",
+                                ("l_orderkey", "o_orderkey"))
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and it actually returns the join's rows
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
