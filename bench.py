@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "doc_fingerprint", "cosine_to_query", "ann_topk_cosine",
     "lsh_buckets", "lsh_neardup_pairs", "ivf_assign", "ivf_topk_cosine",
     "multimodal_features", "multimodal_thumbnails", "sessionize_events",
+    "salted_skew_join_revenue",
 ]
 # embedding_neardup_pairs (the O(n²) brute-force baseline) is oracle-checked
 # at sf0.01 but NOT benched at sf0.1 — 2M pair folds ≈ 80 s is exactly the
