@@ -213,6 +213,9 @@ _FAST_CDATA_CLOSE = {
     "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
     "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
+# stdlib closes a comment at '--' + optional whitespace + '>' (markupbase
+# parse_comment), NOT only at the literal '-->'
+_FAST_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
 def _fast_attrs(blob: str):
@@ -299,10 +302,10 @@ def _fast_scan(rd: str, seg: _Segmenter) -> None:
             i = m.end()
         elif c == "!":
             if rd.startswith("<!--", j):
-                e = find("-->", j + 4)
-                if e < 0:
+                cm = _FAST_COMMENT_CLOSE.search(rd, j + 4)
+                if not cm:
                     raise _FastBail
-                i = e + 3
+                i = cm.end()
             else:   # doctype/decl — ignored; '[' would mean a marked section
                 e = find(">", j)
                 if e < 0 or "[" in rd[j:e]:

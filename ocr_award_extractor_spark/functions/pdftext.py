@@ -30,11 +30,16 @@ import zlib
 
 PDF_MAGIC = b"%PDF-"
 
-_STREAM = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-# /Length-aware location: binary stream bytes may legitimately END in 0x0D,
-# which the \r?\n in the regex above would swallow (truncating e.g. a Flate
-# stream by one byte) — the declared length slices exactly.
-_STREAM_HDR = re.compile(rb"/Length\s+(\d+)[^>]*>>\s*stream\r?\n", re.DOTALL)
+_STREAM = re.compile(rb"(?<!end)stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+# '(?<!end)': the bare keyword also occurs inside 'endstream\n'
+_STREAM_OPEN = re.compile(rb"(?<!end)stream\r?\n")
+_STREAM_TAIL = re.compile(rb"(.*?)\r?\nendstream", re.DOTALL)
+# Direct /Length in the stream's own dict: binary stream bytes may
+# legitimately END in 0x0D, which the \r?\n in _STREAM_TAIL would swallow
+# (truncating e.g. a Flate stream by one byte) — the declared length slices
+# exactly. `(?!\s*\d+\s+R)` rejects indirect references ('/Length 5 0 R'),
+# whose object number must NOT be read as a byte count.
+_STREAM_LEN = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _TEXT_BLOCK = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _PDF_STRING = rb"\((?:\\.|[^\\()])*\)"
 _SHOW_TJ = re.compile(_PDF_STRING + rb"\s*Tj")
@@ -82,16 +87,35 @@ def _string_content(literal: bytes) -> str:
 
 
 def _iter_streams(data: bytes):
-    """Content-stream payloads in document order: exact /Length slices when
-    declared (the correct way — stream bytes are arbitrary binary), else
-    the stream…endstream regex scan (indirect-/missing-Length fallback)."""
-    found = False
-    for m in _STREAM_HDR.finditer(data):
-        found = True
-        yield data[m.end():m.end() + int(m.group(1))]
-    if not found:
-        for m in _STREAM.finditer(data):
-            yield m.group(1)
+    """Content-stream payloads in document order. PER STREAM (not
+    all-or-nothing): a direct /Length in the stream's own dict slices the
+    exact byte count (the correct way — stream bytes are arbitrary binary,
+    and the slice is accepted only if 'endstream' really follows it);
+    otherwise — indirect /Length ('5 0 R'), nested dicts the header scan
+    can't see through, or no length at all — fall back to the tolerant
+    stream…endstream scan for THAT stream."""
+    prev_end = 0
+    for m in _STREAM_OPEN.finditer(data):
+        start = m.end()
+        if start < prev_end:      # 'stream' keyword inside a prior payload
+            continue
+        # the stream's own dict is the bytes since the previous stream
+        lm = None
+        for lm in _STREAM_LEN.finditer(data, prev_end, m.start()):
+            pass                  # keep the LAST /Length before this stream
+        payload = None
+        if lm is not None:
+            n = int(lm.group(1))
+            tail = data[start + n:start + n + 16]
+            if tail.lstrip(b"\r\n").startswith(b"endstream"):
+                payload = data[start:start + n]
+        if payload is None:       # fallback: scan to the next endstream
+            tm = _STREAM_TAIL.match(data, start)
+            if tm is None:
+                break
+            payload = tm.group(1)
+        prev_end = start + len(payload)
+        yield payload
 
 
 def extract_pdf_lines(data: bytes) -> list[str]:

@@ -180,7 +180,11 @@ def extract_documents_tiered(
         threshold_bytes = cols.select(
             F.percentile_approx(F.length("html"), jumbo_quantile).alias("t")
         ).collect()[0]["t"]
-    is_jumbo = F.length("html") > F.lit(int(threshold_bytes))
+    if threshold_bytes is None:   # empty / all-NULL input: nothing is jumbo
+        threshold_bytes = (1 << 62)
+    # coalesce: NULL html must take the normal branch (→ error row there),
+    # not vanish — both where() sides would drop a NULL predicate row
+    is_jumbo = F.coalesce(F.length("html"), F.lit(0)) > F.lit(int(threshold_bytes))
     normal = (
         cols.where(~is_jumbo)
         .repartition(salt_partitions, F.xxhash64("url", F.lit(SALT_SEED)))

@@ -89,6 +89,9 @@ register_backend("audio", _real_decode_stub)
 register_backend("video", _real_decode_stub)
 
 
+_FEATURE_COLS = tuple(f.name for f in FEATURE_SCHEMA.fields)
+
+
 def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
@@ -107,7 +110,10 @@ def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except Exception as e:  # decode failure → error ROW (cert:100-105)
                 rec.update(status="error", message=f"decode failed: {e}")
             out.append(rec)
-        yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+        # columnar build — list-of-dicts does per-cell inference
+        # (extract_pipeline.py measured it at ~2× the stage cost)
+        data = {c: [r[c] for r in out] for c in _FEATURE_COLS}
+        yield pd.DataFrame(data, columns=list(_FEATURE_COLS), copy=False)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -159,12 +165,16 @@ def _media_rows(doc_id: int) -> list[dict]:
     return rows
 
 
+_MEDIA_COLS = tuple(f.name for f in MEDIA_SCHEMA.fields)
+
+
 def _media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id in pdf["doc_id"]:
             out.extend(_media_rows(int(doc_id)))
-        yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA.fields])
+        data = {c: [r[c] for r in out] for c in _MEDIA_COLS}
+        yield pd.DataFrame(data, columns=list(_MEDIA_COLS), copy=False)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -259,6 +269,9 @@ def resize_nearest(px: np.ndarray, w: int, h: int,
     return px.reshape(h, w)[np.ix_(ys, xs)]
 
 
+_THUMB_COLS = tuple(f.name for f in THUMB_SCHEMA.fields)
+
+
 def _thumb_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
@@ -276,7 +289,8 @@ def _thumb_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             except Exception:
                 rec.update(status="error", thumb_w=None, thumb_h=None)
             out.append(rec)
-        yield pd.DataFrame(out, columns=[f.name for f in THUMB_SCHEMA.fields])
+        data = {c: [r[c] for r in out] for c in _THUMB_COLS}
+        yield pd.DataFrame(data, columns=list(_THUMB_COLS), copy=False)
 
 
 def multimodal_thumbnails(spark, sf_dir: str) -> DataFrame:

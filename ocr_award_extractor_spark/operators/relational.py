@@ -319,9 +319,13 @@ ORACLES = {
     """,
     "sessionize_events": f"""
         WITH o AS (
+            -- exact interval compare, NOT date_diff('second',...): the
+            -- latter counts second-boundary crossings (truncation), which
+            -- disagrees with Spark's microsecond interval comparison for
+            -- gaps inside (1800s, 1801s)
             SELECT user_id, event_id, ts, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                          OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                          OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_S} SECOND
                         THEN 1 ELSE 0 END AS ns
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

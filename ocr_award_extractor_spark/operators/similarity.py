@@ -179,7 +179,12 @@ def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning ONLY the query's centroid cluster — the scale path vs the
     brute-force ann_topk_cosine baseline. Deterministic, so the DuckDB
     oracle reproduces the exact candidate set and cut line."""
-    assigned = ivf_assign(spark, sf_dir)
+    # cache: the qcent filter and the candidate join both consume the
+    # assignment — without this the broadcast-score + argmax subtree is
+    # planned and EXECUTED twice per action (at 10⁹ vectors that doubles
+    # the most expensive stage; in production the assignment is a
+    # materialized table bucketed by centroid instead)
+    assigned = ivf_assign(spark, sf_dir).cache()
     qcent = assigned.where(F.col("vec_id") == 0).select(
         F.col("centroid").alias("qc")
     )

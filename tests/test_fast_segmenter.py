@@ -70,6 +70,9 @@ ADVERSARIAL = [
     '<p><p class="nav"/>text </p>',        # self-closing boiler tag (regression:
     "<a href=x/>unquoted slash value</a>",  # the '/' belongs to the value)
     "<p><![CDATA[raw]]></p>",                       # marked section → bail
+    "<!--note-- >visible text<!--x--><p>hi</p>",    # '-- >' closes a comment
+    "<!-- a --->trailing dash<p>y</p>",
+    "<!-->short</p>",
     "\x00<p>control\x01chars</p>",
 ]
 
@@ -93,6 +96,7 @@ _soup_atoms = st.sampled_from([
     "text ", "&amp;", "&#65;", "& loose ", "<", ">", '"', "'", "=", "/",
     " class=nav ", "<span style=\"display:none\">", "</span>", "词 ",
     "<p/>", "</p >", "<x y=z>", "\n", "\t",
+    "<!--c-- >", "<!--c--->", "-->", "-- >",
 ])
 
 

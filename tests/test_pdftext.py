@@ -66,12 +66,40 @@ def test_flate_stream_ending_in_carriage_return():
     """Regression: compressed stream bytes ending in 0x0D were truncated by
     the \\r?\\n in the endstream regex; /Length-aware slicing must win."""
     from ocr_award_extractor_spark.functions.pdftext import (
-        _STREAM_HDR, extract_pdf_lines, make_simple_pdf,
+        _STREAM_LEN, _STREAM_OPEN, extract_pdf_lines, make_simple_pdf,
     )
 
     lines = ["probe 189999"]   # found by search: flate stream ends in 0x0D
     pdf = make_simple_pdf(lines, compress=True)
-    m = _STREAM_HDR.search(pdf)
-    body = pdf[m.end():m.end() + int(m.group(1))]
+    m = _STREAM_OPEN.search(pdf)
+    n = int(_STREAM_LEN.search(pdf).group(1))
+    body = pdf[m.end():m.end() + n]
     assert body.endswith(b"\r"), "fixture no longer triggers the edge case"
     assert extract_pdf_lines(pdf) == lines
+
+
+def test_indirect_length_and_mixed_streams():
+    """Indirect /Length ('N 0 R') must NOT be read as a byte count, and the
+    endstream-scan fallback is per-stream: a parseable direct-Length stream
+    must not suppress recovery of a sibling whose dict defeats the header
+    scan."""
+    import zlib
+
+    from ocr_award_extractor_spark.functions.pdftext import extract_pdf_lines
+
+    content_a = b"BT (indirect stream line) Tj ET"
+    content_b = b"BT (direct stream line) Tj ET"
+    content_c = zlib.compress(b"BT (nested dict line) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"4 0 obj << /Length 12 0 R >>\nstream\n" + content_a + b"\nendstream\nendobj\n"
+        b"12 0 obj " + str(len(content_a)).encode() + b" endobj\n"
+        b"5 0 obj << /Length " + str(len(content_b)).encode() + b" >>\nstream\n"
+        + content_b + b"\nendstream\nendobj\n"
+        b"6 0 obj << /Length " + str(len(content_c)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 1 >> >>\nstream\n"
+        + content_c + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_lines(pdf) == [
+        "indirect stream line", "direct stream line", "nested dict line",
+    ]

@@ -70,3 +70,22 @@ def test_tiered_routing_matches_plain_extraction(spark):
     # quantile path picks a cut that isolates the jumbos
     auto = extract_documents_tiered(docs, salt_partitions=8, jumbo_quantile=0.97)
     assert auto.count() == 120
+
+
+def test_tiered_routing_keeps_null_html_rows(spark):
+    """NULL html must surface as an error row from the tiered plan too —
+    a NULL routing predicate silently dropping the document is data loss."""
+    from datetime import datetime
+
+    from ocr_award_extractor_spark.operators.extract_pipeline import (
+        extract_documents_tiered,
+    )
+
+    cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rows = [("u://ok", datetime(2024, 3, 1), b"<p>fine text here</p>", "", "en"),
+            ("u://null", datetime(2024, 3, 1), None, "", "en")]
+    docs = spark.createDataFrame(rows, cols)
+    got = {r["url"]: r["status"]
+           for r in extract_documents_tiered(docs, salt_partitions=2,
+                                             threshold_bytes=10_000).collect()}
+    assert got == {"u://ok": "success", "u://null": "error"}
