@@ -279,6 +279,20 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def price_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based aggregate family): median and p90 of
+    order price per status. Spark `percentile` and DuckDB `quantile_cont`
+    share linear interpolation, so values agree exactly. At scale prefer
+    `percentile_approx` (mergeable t-digest-style sketch, no global sort) —
+    approx sketches differ across engines so the EXACT form is the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    )
+
+
 JOIN_SALT_R = 8
 
 
@@ -311,6 +325,12 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES = {
+    "price_quantiles_by_status": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders GROUP BY o_orderstatus
+    """,
     "salted_skew_join_revenue": """
         SELECT o.o_custkey, count(*) AS n_items,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -477,4 +497,5 @@ QUERIES = {
     "docs_to_json": docs_to_json,
     "sessionize_events": sessionize_events,
     "salted_skew_join_revenue": salted_skew_join_revenue,
+    "price_quantiles_by_status": price_quantiles_by_status,
 }
