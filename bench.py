@@ -99,7 +99,7 @@ def run_extract_job(spark, pages_path: str, cores: int,
     return wall, agg["docs"]
 
 
-def scale_worker(cores: int) -> None:
+def scale_worker(cores: int, n_runs: int = 2) -> None:
     """Subprocess entry: fresh JVM at local[cores]; warms codegen/workers
     on a small slice, then times the full salt-free run (the corpus is
     uniformly pre-partitioned into ~1MB splits, so the skew-defusing
@@ -116,10 +116,7 @@ def scale_worker(cores: int) -> None:
 
     warm = spark.read.parquet(path).limit(2000)
     extract_documents(warm).count()
-    # best of 3: the sandbox VM sees noisy-neighbor steal (±30% windows);
-    # the fastest run approximates each width's unthrottled capability,
-    # which is what the N->4N comparison is about
-    runs = [run_extract_job(spark, path, cores, salt=False) for _ in range(3)]
+    runs = [run_extract_job(spark, path, cores, salt=False) for _ in range(n_runs)]
     wall = min(w for w, _ in runs)
     n = runs[0][1]
     print(json.dumps({"cores": cores, "wall_sec": wall, "docs": n}))
@@ -149,22 +146,29 @@ def _busy(n: int) -> int:
 
 
 def run_scaling() -> dict:
+    """Two INTERLEAVED launch rounds per width (2,8,32, 2,8,32), best
+    across both: a width that lands its entire JVM lifetime in one lucky
+    or stolen window no longer skews the cross-width ratio — each width
+    samples two separate time windows (the variance source this VM
+    actually has)."""
     cores_needed = sorted({c for pair in SCALE_PAIRS for c in pair})
     results = {}
-    for cores in cores_needed:
-        log(f"scaling run: local[{cores}]")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
-            capture_output=True, text=True, timeout=1800,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if proc.returncode != 0:
-            log(proc.stderr[-2000:])
-            raise RuntimeError(f"scale worker {cores} failed")
-        rec = json.loads(proc.stdout.strip().splitlines()[-1])
-        rec["docs_per_sec"] = rec["docs"] / rec["wall_sec"]
-        results[cores] = rec
-        log(f"  local[{cores}]: {rec['docs_per_sec']:.0f} docs/s")
+    for round_no in (1, 2):
+        for cores in cores_needed:
+            log(f"scaling run (round {round_no}): local[{cores}]")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
+                capture_output=True, text=True, timeout=1800,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode != 0:
+                log(proc.stderr[-2000:])
+                raise RuntimeError(f"scale worker {cores} failed")
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            rec["docs_per_sec"] = rec["docs"] / rec["wall_sec"]
+            if cores not in results or rec["wall_sec"] < results[cores]["wall_sec"]:
+                results[cores] = rec
+            log(f"  local[{cores}]: {rec['docs_per_sec']:.0f} docs/s")
 
     pairs = {}
     for lo, hi in SCALE_PAIRS:
