@@ -103,3 +103,59 @@ def test_indirect_length_and_mixed_streams():
     assert extract_pdf_lines(pdf) == [
         "indirect stream line", "direct stream line", "nested dict line",
     ]
+
+
+def test_stream_iterator_edge_cases():
+    """Per-stream iterator vs hostile payloads: keyword bytes inside
+    binary payloads, lengths past EOF, missing endstream."""
+    from ocr_award_extractor_spark.functions.pdftext import _iter_streams
+
+    # payload CONTAINS 'stream\n' and 'endstream' as binary bytes — the
+    # /Length slice must carry them through intact
+    evil = b"xx stream\n yy endstream zz"
+    pdf = (b"1 0 obj << /Length " + str(len(evil)).encode() + b" >>\n"
+           b"stream\n" + evil + b"\nendstream\nendobj\n"
+           b"2 0 obj << /Length 4 >>\nstream\nABCD\nendstream\n")
+    got = list(_iter_streams(pdf))
+    assert got == [evil, b"ABCD"]
+
+    # declared length runs past EOF -> fall back to the endstream scan
+    pdf2 = b"<< /Length 9999 >>\nstream\nSHORT\nendstream\n"
+    assert list(_iter_streams(pdf2)) == [b"SHORT"]
+
+    # stream never closed -> no payload, no exception
+    pdf3 = b"<< /Length 9999 >>\nstream\nNO CLOSE EVER"
+    assert list(_iter_streams(pdf3)) == []
+
+
+def test_pdf_roundtrip_fuzz():
+    """Round-trip property: any printable line set survives make_simple_pdf
+    -> extract_pdf_lines byte-identically, compressed or not; random junk
+    never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_award_extractor_spark.functions.pdftext import (
+        extract_pdf_lines, make_simple_pdf,
+    )
+
+    lines_st = st.lists(
+        st.text(st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+                min_size=1, max_size=40).map(str.strip).filter(bool),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(lines_st, st.booleans())
+    def roundtrip(lines, compress):
+        pdf = make_simple_pdf(lines, compress=compress)
+        assert extract_pdf_lines(pdf) == lines
+
+    roundtrip()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def junk(data):
+        extract_pdf_lines(b"%PDF-1.4\n" + data)   # must not raise
+
+    junk()
