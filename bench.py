@@ -16,8 +16,11 @@ extraction job on the SAME corpus in fresh Spark sessions at N and 4N
 cores, two pairs — local[2]→local[8] (primary: both widths below this VM's
 frequency/steal throttle point) and local[8]→local[32] (secondary) — with
 efficiency = (throughput@4N / throughput@N) / 4, target ≥ 0.8. Each width
-is best-of-3 (the sandbox VM shows ±30% noisy-neighbor steal windows; a
-busy-loop hardware ceiling is measured alongside for normalization).
+is measured in TWO interleaved JVM launches (2,8,32, 2,8,32) of 2 timed
+runs each, best-of-4 overall: the sandbox VM shows ±30% noisy-neighbor
+steal windows, and interleaving stops one width's whole JVM lifetime
+landing in a single lucky/stolen window from skewing the ratio. A
+busy-loop hardware ceiling is measured alongside for normalization.
 
 All progress goes to stderr; stdout carries exactly the JSON line.
 """
@@ -206,7 +209,8 @@ BENCH_QUERIES = [
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-worker":
-        scale_worker(int(sys.argv[2]))
+        n_runs = int(sys.argv[3]) if len(sys.argv) >= 4 else 2
+        scale_worker(int(sys.argv[2]), n_runs)
         return
 
     import __spark_entry__ as entrymod

@@ -30,7 +30,6 @@ import zlib
 
 PDF_MAGIC = b"%PDF-"
 
-_STREAM = re.compile(rb"(?<!end)stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # '(?<!end)': the bare keyword also occurs inside 'endstream\n'
 _STREAM_OPEN = re.compile(rb"(?<!end)stream\r?\n")
 _STREAM_TAIL = re.compile(rb"(.*?)\r?\nendstream", re.DOTALL)
@@ -97,7 +96,11 @@ def _iter_streams(data: bytes):
     prev_end = 0
     for m in _STREAM_OPEN.finditer(data):
         start = m.end()
-        if start < prev_end:      # 'stream' keyword inside a prior payload
+        # guard on match START: a keyword STRADDLING a payload's end
+        # boundary (payload ends in b'stream', its EOL supplies the \n)
+        # would pass an end-based check and spawn a phantom stream that
+        # swallows the next real one
+        if m.start() < prev_end:
             continue
         # the stream's own dict is the bytes since the previous stream
         lm = None

@@ -286,10 +286,12 @@ def price_quantiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile_approx` (mergeable t-digest-style sketch, no global sort) —
     approx sketches differ across engines so the EXACT form is the oracle."""
     o = load_table(spark, sf_dir, "orders")
+    # round(…,4): don't bet the value hash on both engines sharing a
+    # bit-exact interpolation formula across version bumps
     return o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
     )
 
 
@@ -327,8 +329,8 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES = {
     "price_quantiles_by_status": """
         SELECT o_orderstatus, count(*) AS n_orders,
-               quantile_cont(o_totalprice, 0.5) AS p50,
-               quantile_cont(o_totalprice, 0.9) AS p90
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         FROM orders GROUP BY o_orderstatus
     """,
     "salted_skew_join_revenue": """

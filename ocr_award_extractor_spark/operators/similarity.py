@@ -141,23 +141,8 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid by
-    cosine (tie-break centroid id asc). Centroids are the first IVF_K
-    vectors (deterministic — a k-means step would slot in here unchanged).
-
-    Scale shape: centroids broadcast (no shuffle to score), argmax via
-    groupBy + max(struct) — plans as a two-phase SortAggregate with
-    partial_max BELOW the exchange, so the shuffle carries one row per
-    vec_id (never IVF_K candidates, never a window sort). At 10⁹ vectors
-    the assignment is written back bucketed by centroid so probes prune
-    partitions instead of re-scoring."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _quant(F.col("embedding")).alias("qe")
-    )
-    cent = emb.where(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cid"), F.col("qe").alias("cv")
-    )
+def _assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid argmax for any (vec_id, label, qe) frame."""
     cos_c = _dot(F.col("qe"), F.col("cv")).cast("double") / F.sqrt(
         (_norm2(F.col("qe")) * _norm2(F.col("cv"))).cast("double")
     )
@@ -174,20 +159,46 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_and_centroids(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quant(F.col("embedding")).alias("qe")
+    )
+    cent = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("cv")
+    )
+    return emb, cent
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid by
+    cosine (tie-break centroid id asc). Centroids are the first IVF_K
+    vectors (deterministic — a k-means step would slot in here unchanged).
+
+    Scale shape: centroids broadcast (no shuffle to score), argmax via
+    groupBy + max(struct) — plans as a two-phase SortAggregate with
+    partial_max BELOW the exchange, so the shuffle carries one row per
+    vec_id (never IVF_K candidates, never a window sort). At 10⁹ vectors
+    the assignment is written back bucketed by centroid so probes prune
+    partitions instead of re-scoring."""
+    emb, cent = _emb_and_centroids(spark, sf_dir)
+    return _assign_to_centroids(emb, cent)
+
+
 def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe (nprobe=1): top-k by cosine to the query (vec_id=0)
     scanning ONLY the query's centroid cluster — the scale path vs the
     brute-force ann_topk_cosine baseline. Deterministic, so the DuckDB
     oracle reproduces the exact candidate set and cut line."""
-    # cache: the qcent filter and the candidate join both consume the
-    # assignment — without this the broadcast-score + argmax subtree is
-    # planned and EXECUTED twice per action (at 10⁹ vectors that doubles
-    # the most expensive stage; in production the assignment is a
-    # materialized table bucketed by centroid instead)
-    assigned = ivf_assign(spark, sf_dir).cache()
-    qcent = assigned.where(F.col("vec_id") == 0).select(
+    # the QUERY's centroid only needs the query row scored against the K
+    # centroids (1×K, not N×K) — computing it separately means the full
+    # assignment subtree appears exactly ONCE in the returned plan, with
+    # no cache to leak into the session (at 10⁹ vectors the assignment is
+    # a materialized table bucketed by centroid instead)
+    emb, cent = _emb_and_centroids(spark, sf_dir)
+    qcent = _assign_to_centroids(emb.where(F.col("vec_id") == 0), cent).select(
         F.col("centroid").alias("qc")
     )
+    assigned = _assign_to_centroids(emb, cent)
     cand = (
         assigned.join(F.broadcast(qcent), F.col("centroid") == F.col("qc"))
         .where(F.col("vec_id") != 0)

@@ -159,3 +159,22 @@ def test_pdf_roundtrip_fuzz():
         extract_pdf_lines(b"%PDF-1.4\n" + data)   # must not raise
 
     junk()
+
+
+def test_payload_ending_in_stream_keyword():
+    """Regression: a /Length payload ENDING in b'stream' (its EOL supplies
+    the \\n) must not spawn a phantom stream that swallows the next one."""
+    import zlib
+
+    from ocr_award_extractor_spark.functions.pdftext import (
+        _iter_streams, extract_pdf_lines,
+    )
+
+    evil = b"BINARY DATA ending in stream"
+    nxt = zlib.compress(b"BT (second stream text) Tj ET")
+    pdf = (b"1 0 obj << /Length " + str(len(evil)).encode() + b" >>\n"
+           b"stream\n" + evil + b"\nendstream\nendobj\n"
+           b"2 0 obj << /Length " + str(len(nxt)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + nxt + b"\nendstream\n")
+    assert list(_iter_streams(pdf)) == [evil, nxt]
+    assert extract_pdf_lines(pdf) == ["second stream text"]
