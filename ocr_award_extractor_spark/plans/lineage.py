@@ -97,27 +97,19 @@ def run_resumable_extraction(
     """
     if extract is None:
         from ocr_award_extractor_spark.operators.extract_pipeline import (
-            extract_batch, OUT_SCHEMA,
+            extract_documents,
         )
-        from pyspark.sql.types import IntegerType, StructField, StructType
-
-        schema = StructType(list(OUT_SCHEMA.fields) + [StructField("split_id", IntegerType())])
 
         def extract(pending: DataFrame) -> DataFrame:  # noqa: F811
-            cols = pending.select("url", "warc_ts", "lang", "html", "split_id")
-
-            def batch_with_split(batches):
-                import pandas as pd
-
-                from ocr_award_extractor_spark.operators.extract_pipeline import extract_record
-
-                for pdf in batches:
-                    out = [extract_record(r.url, r.warc_ts, r.lang, r.html)
-                           | {"split_id": int(r.split_id)}
-                           for r in pdf.itertuples(index=False)]
-                    yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
-
-            return cols.mapInPandas(batch_with_split, schema)
+            # split_id is a pure function of url, so recompute it JVM-side
+            # AFTER the fast columnar extraction stage instead of threading
+            # it through a bespoke per-row UDF (the list-of-dicts build was
+            # the known 2× stage cost)
+            out = extract_documents(pending.drop("split_id"))
+            return out.withColumn(
+                "split_id",
+                F.pmod(F.xxhash64("url"), F.lit(n_splits)).cast("int"),
+            )
 
     data_dir = os.path.join(out_dir, "data")
     lineage_dir = os.path.join(out_dir, "_lineage")
