@@ -61,3 +61,82 @@ def test_rerun_after_complete_is_noop(spark, tmp_path):
     assert r["batches_committed"] == 0
     assert r["splits_previously_committed"] == 4
     assert read_committed(spark, out).count() == 50
+
+
+def test_real_kill9_and_resume(spark, tmp_path):
+    """Hard-kill drive (SURVEY.md §5.2.5 for real): SIGKILL the whole
+    process group of a running job after its first batch commit, then
+    resume with a fresh session — full output, no duplicates, checksums
+    clean, and at least one split genuinely survives from the killed run."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = str(tmp_path / "out")
+    child_src = tmp_path / "child.py"
+    child_src.write_text(f'''
+import sys, time
+sys.path.insert(0, {repr(os.getcwd())})
+from pyspark.sql import functions as F
+from ocr_award_extractor_spark.config import get_spark
+from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+from ocr_award_extractor_spark.plans.lineage import run_resumable_extraction
+from ocr_award_extractor_spark.sources.tables import load_fixture
+
+spark = get_spark("kill-child", master="local[2]", shuffle_partitions=4)
+docs = load_fixture(spark, n_docs=120)
+
+def slow_extract(pending):
+    time.sleep(4)   # widen the between-commit window the parent kills in
+    out = extract_documents(pending.drop("split_id"))
+    return out.withColumn("split_id",
+                          F.pmod(F.xxhash64("url"), F.lit(8)).cast("int"))
+
+run_resumable_extraction(spark, docs, {repr(str(tmp_path / "out"))},
+                         "killed-run", n_splits=8, n_batches=8,
+                         extract=slow_extract)
+''')
+    proc = subprocess.Popen([sys.executable, str(child_src)],
+                            start_new_session=True,
+                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    lineage_dir = os.path.join(out, "_lineage")
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if os.path.isdir(lineage_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(lineage_dir)
+            ):
+                break
+            if proc.poll() is not None:
+                raise AssertionError("child finished before it could be killed")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("no lineage commit appeared in time")
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+    proc.wait()
+
+    from ocr_award_extractor_spark.plans.lineage import (
+        committed_splits, read_committed, run_resumable_extraction,
+        verify_lineage,
+    )
+
+    survivors = {r["run_id"] for r in committed_splits(spark, out).collect()}
+    assert survivors == {"killed-run"}
+
+    docs = load_fixture(spark, n_docs=120)
+    stats = run_resumable_extraction(spark, docs, out, "resume-run",
+                                     n_splits=8, n_batches=8)
+    assert stats["splits_previously_committed"] >= 1   # work truly survived
+
+    committed = read_committed(spark, out)
+    urls = [r["url"] for r in committed.select("url").collect()]
+    assert len(urls) == 120 and len(set(urls)) == 120  # complete, no dupes
+    assert verify_lineage(spark, out).count() == 0     # checksums clean
+    runs = {r["run_id"] for r in committed_splits(spark, out).collect()}
+    assert runs == {"killed-run", "resume-run"}        # both runs contributed
