@@ -89,3 +89,34 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     # first-seen timestamp wins for the duplicated urls
     assert got["https://x.example/b"] == t0 + timedelta(hours=1)
     assert got["https://x.example/c"] == t0 + timedelta(hours=2)
+
+
+def test_stream_checkpoint_incremental_resume(spark, tmp_path):
+    """Checkpoint resume: a second availableNow run over the same directory
+    processes ONLY files that arrived since the first run — no reprocessing,
+    no duplicates in the sink."""
+    from ocr_award_extractor_spark.sources.tables import load_fixture
+    from ocr_award_extractor_spark.streaming.extract_stream import stream_extract
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs = load_fixture(spark, n_docs=120)
+    batch1 = docs.where(F.col("url").rlike("doc000000[0-5]"))
+    batch2 = docs.where(~F.col("url").rlike("doc000000[0-5]"))
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    q = stream_extract(spark, str(src) + "/*", ck, out)
+    q.awaitTermination(300)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == batch1.count()
+
+    # new files arrive; same checkpoint → only the delta is processed
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    q2 = stream_extract(spark, str(src) + "/*", ck, out)
+    q2.awaitTermination(300)
+
+    final = spark.read.parquet(out)
+    urls = [r["url"] for r in final.select("url").collect()]
+    assert len(urls) == 120 and len(set(urls)) == 120   # complete, no dupes
+    assert q2.lastProgress["numInputRows"] == 120 - n_first  # delta only
