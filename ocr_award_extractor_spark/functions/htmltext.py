@@ -389,12 +389,20 @@ def extract_page(html_bytes) -> dict:
     if isinstance(html_bytes, str):
         html_bytes = html_bytes.encode("utf-8")
 
-    # content-type routing: PDF payloads take the PDF/layout leg; the rest
-    # of the pipeline is format-agnostic (same result shape)
+    # content-type routing: PDF payloads take the PDF/layout leg; raster
+    # images take the pluggable OCR slot (the reference's true input type,
+    # certificate_ocr.py:98 — clean error row without a backend, never
+    # garbage-parsed as markup); the rest is format-agnostic
+    from ocr_award_extractor_spark.functions.ocr_slot import (
+        ocr_image_page, sniff_image,
+    )
     from ocr_award_extractor_spark.functions.pdftext import PDF_MAGIC, extract_pdf_page
 
     if html_bytes[:5] == PDF_MAGIC:
         return extract_pdf_page(html_bytes)
+    fmt = sniff_image(html_bytes)
+    if fmt is not None:
+        return ocr_image_page(html_bytes, fmt)
 
     results = []
     strict_str: str | None

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ocr_award_extractor_spark.operators.extract_pipeline import (
-    award_summary, extract_documents, to_reference_json,
+    award_summary, extract_documents, extract_record, to_reference_json,
 )
 from ocr_award_extractor_spark.sources.fixture_gen import generate_rows
 from ocr_award_extractor_spark.sources.tables import load_fixture
@@ -140,3 +140,47 @@ def test_stage_metrics_accumulators(spark):
     n_err = sum(1 for r in rows if r["status"] == "error")
     assert metrics["docs"].value == 150
     assert metrics["errors"].value == n_err > 0
+
+
+def test_image_payloads_route_to_ocr_slot(spark):
+    """Raster payloads (the reference's true input type) must route to the
+    pluggable OCR slot: clean error rows without a backend, real lines with
+    one — never garbage-parsed as markup."""
+    import datetime
+
+    from ocr_award_extractor_spark.functions.ocr_slot import register_ocr_backend
+
+    ts = datetime.datetime(2024, 3, 1)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    jpg = b"\xff\xd8\xff\xe0" + b"junk" * 16
+    rows = [("img://a.png", ts, "zh", png), ("img://b.jpg", ts, "zh", jpg)]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, lang string, html binary")
+
+    got = {r["url"]: r for r in extract_documents(df).collect()}
+    assert all(r["status"] == "error" for r in got.values())
+    assert "OCR backend" in got["img://a.png"]["message"]
+    assert "png" in got["img://a.png"]["message"]
+    assert "jpeg" in got["img://b.jpg"]["message"]
+
+    # a registered backend turns the same payload into extracted fields —
+    # exercised through extract_record (same code the workers run; module
+    # state is per-process, so cluster registration goes through the
+    # SPARK_GRAFT_OCR_BACKEND=module:attr env spec instead)
+    register_ocr_backend(lambda payload: (
+        ["全国大学生物联网设计大赛", "荣获一等奖", "获奖学生：张三、李四"],
+        [0.99, 0.98, 0.97],
+    ))
+    try:
+        r = extract_record("img://a.png", ts, "zh", png)
+        assert r["status"] == "success" and r["strategy"] == "ocr-png"
+        assert r["award_level"] == "一等奖" and r["winner"] == ["张三", "李四"]
+        assert r["ocr_confidence"] == round((0.99 + 0.98 + 0.97) / 3, 4)
+    finally:
+        register_ocr_backend(None)
+
+    # env-spec loading (how executors get the backend): resolvable path
+    from ocr_award_extractor_spark.functions import ocr_slot
+
+    assert ocr_slot._load_backend_spec("") is False
+    assert ocr_slot._load_backend_spec("math:sqrt") is True   # resolves+installs
+    register_ocr_backend(None)
