@@ -92,9 +92,16 @@ class _Segmenter(HTMLParser):
 
     # -- segment plumbing ---------------------------------------------------
     def _flush(self) -> None:
-        if self._cur.parts:
-            self.segments.append(self._cur)
-        self._cur = Segment(killed=self._suppressed())
+        cur = self._cur
+        suppressed = self._kill_depth > 0 or self._boiler_depth > 0
+        if not cur.parts:
+            # nothing to emit: reuse the segment, just refresh its killed
+            # flag (identical semantics, ~half the allocations — block tags
+            # flush ~90×/doc and most flushes are empty)
+            cur.killed = suppressed
+            return
+        self.segments.append(cur)
+        self._cur = Segment(killed=suppressed)
 
     def _suppressed(self) -> bool:
         return self._kill_depth > 0 or self._boiler_depth > 0
