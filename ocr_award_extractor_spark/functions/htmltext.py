@@ -254,11 +254,19 @@ def _fast_attrs(blob: str):
     return attrs, blob2[k:end].strip()
 
 
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
 def _fast_scan(rd: str, seg: _Segmenter) -> None:
     n = len(rd)
     i = 0
     find = rd.find
     hd = seg.handle_data
+    hs = seg.handle_starttag
+    he = seg.handle_endtag
+    start_match = _FAST_START.match
+    end_match = _FAST_END.match
+    boiler_search = _FAST_BOILER_HINT.search
     while i < n:
         j = find("<", i)
         if j < 0:
@@ -270,14 +278,16 @@ def _fast_scan(rd: str, seg: _Segmenter) -> None:
             chunk = rd[i:j]
             hd(_unescape(chunk) if "&" in chunk else chunk)
         c = rd[j + 1:j + 2]
-        if c.isalpha():
-            m = _FAST_START.match(rd, j)
+        # ASCII letters only, like starttagopen — a non-ASCII alpha would
+        # fail _FAST_START anyway and bail; this skips both regex calls
+        if c in _ASCII_LETTERS:
+            m = start_match(rd, j)
             if not m:
                 raise _FastBail
             tag = m.group(1).lower()
             blob = m.group(2)
             endpos = m.end()
-            if _FAST_BOILER_HINT.search(blob):
+            if blob and boiler_search(blob):
                 attrs, rem = _fast_attrs(blob)
             elif blob.endswith("/"):
                 # trailing slash: self-closing, unless it is the tail of an
@@ -287,14 +297,14 @@ def _fast_scan(rd: str, seg: _Segmenter) -> None:
             else:
                 attrs, rem = [], ""
             if rem == "":
-                seg.handle_starttag(tag, attrs)
+                hs(tag, attrs)
                 if tag in _FAST_CDATA_CLOSE:   # script/style: raw till close
                     cm = _FAST_CDATA_CLOSE[tag].search(rd, endpos)
                     if not cm:
                         raise _FastBail
                     if cm.start() > endpos:
                         hd(rd[endpos:cm.start()])
-                    seg.handle_endtag(tag)
+                    he(tag)
                     endpos = cm.end()
             elif rem == "/":
                 seg.handle_startendtag(tag, attrs)
@@ -302,10 +312,10 @@ def _fast_scan(rd: str, seg: _Segmenter) -> None:
                 raise _FastBail   # junk in tag: stdlib demotes it to data
             i = endpos
         elif c == "/":
-            m = _FAST_END.match(rd, j)
+            m = end_match(rd, j)
             if not m:
                 raise _FastBail
-            seg.handle_endtag(m.group(1).lower())
+            he(m.group(1).lower())
             i = m.end()
         elif c == "!":
             if rd.startswith("<!--", j):
