@@ -40,6 +40,13 @@ import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
+from ocr_award_extractor_spark.functions.ocr_slot import (
+    ocr_image_page, sniff_image,
+)
+from ocr_award_extractor_spark.functions.pdftext import (
+    PDF_MAGIC, extract_pdf_page,
+)
+
 # Containers whose entire subtree is never content.
 KILL_TAGS = frozenset(
     "script style noscript template head title svg math iframe object embed "
@@ -93,7 +100,7 @@ class _Segmenter(HTMLParser):
     # -- segment plumbing ---------------------------------------------------
     def _flush(self) -> None:
         cur = self._cur
-        suppressed = self._kill_depth > 0 or self._boiler_depth > 0
+        suppressed = self._suppressed()
         if not cur.parts:
             # nothing to emit: reuse the segment, just refresh its killed
             # flag (identical semantics, ~half the allocations — block tags
@@ -410,11 +417,6 @@ def extract_page(html_bytes) -> dict:
     # images take the pluggable OCR slot (the reference's true input type,
     # certificate_ocr.py:98 — clean error row without a backend, never
     # garbage-parsed as markup); the rest is format-agnostic
-    from ocr_award_extractor_spark.functions.ocr_slot import (
-        ocr_image_page, sniff_image,
-    )
-    from ocr_award_extractor_spark.functions.pdftext import PDF_MAGIC, extract_pdf_page
-
     if html_bytes[:5] == PDF_MAGIC:
         return extract_pdf_page(html_bytes)
     fmt = sniff_image(html_bytes)

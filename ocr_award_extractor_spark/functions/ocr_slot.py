@@ -26,10 +26,10 @@ IMAGE_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"GIF89a", "gif"),
     (b"II*\x00", "tiff"),
     (b"MM\x00*", "tiff"),
-    (b"BM", "bmp"),
 )
 
 _BACKEND: Callable[[bytes], tuple[list[str], list[float]]] | None = None
+_BACKEND_SPEC_ERROR: str | None = None
 
 
 def register_ocr_backend(fn: Callable[[bytes], tuple[list[str], list[float]]] | None) -> None:
@@ -58,7 +58,11 @@ def _load_backend_spec(spec: str | None = None) -> bool:
     return True
 
 
-_load_backend_spec()
+try:
+    _load_backend_spec()
+except Exception as _e:   # bad spec must NOT poison every extract_page call
+    # (the import runs before any routing) — surface it per image row instead
+    _BACKEND_SPEC_ERROR = f"OCR backend spec failed to load: {_e}"
 
 
 def sniff_image(payload: bytes) -> str | None:
@@ -66,6 +70,11 @@ def sniff_image(payload: bytes) -> str | None:
     for magic, fmt in IMAGE_MAGICS:
         if payload[:len(magic)] == magic:
             return fmt
+    # BMP: the bare 2-byte 'BM' prefix is far too weak (ordinary text can
+    # start with it) — also require the 4 reserved header bytes to be zero
+    if (len(payload) >= 14 and payload[:2] == b"BM"
+            and payload[6:10] == b"\x00\x00\x00\x00"):
+        return "bmp"
     return None
 
 
@@ -73,21 +82,24 @@ def ocr_image_page(payload: bytes, fmt: str) -> dict:
     """Image payload → the pipeline's page shape (status/message/lines/
     confs/strategy). No backend ⇒ error row, never an exception."""
     if _BACKEND is None:
-        return {
-            "status": "error",
-            "message": f"{fmt} payload needs an OCR backend "
-                       "(register_ocr_backend on a cluster with paddleocr)",
-            "lines": [], "confs": [], "strategy": "",
-        }
+        msg = _BACKEND_SPEC_ERROR or (
+            f"{fmt} payload needs an OCR backend "
+            "(register_ocr_backend on a cluster with paddleocr)"
+        )
+        return {"status": "error", "message": msg,
+                "lines": [], "confs": [], "strategy": ""}
     try:
-        lines, confs = _BACKEND(payload)
+        raw_lines, raw_confs = _BACKEND(payload)
     except Exception as e:   # backend failure → error ROW (cert:100-105)
         return {"status": "error", "message": f"ocr failed: {e}",
                 "lines": [], "confs": [], "strategy": ""}
-    lines = [ln for ln in lines if ln and ln.strip()]   # blank filter (:141)
-    if not lines:
+    # blank filter drops text+conf PAIRS together (cert:139-143) — filtering
+    # lines alone would misalign every surviving line's confidence
+    kept = [(ln, c) for ln, c in zip(raw_lines, raw_confs) if ln and ln.strip()]
+    if not kept:
         return {"status": "error", "message": "no text extracted",
                 "lines": [], "confs": [], "strategy": ""}
     return {"status": "success", "message": "",
-            "lines": lines, "confs": list(confs[:len(lines)]),
+            "lines": [ln for ln, _ in kept],
+            "confs": [float(c) for _, c in kept],
             "strategy": f"ocr-{fmt}"}

@@ -181,6 +181,44 @@ def test_image_payloads_route_to_ocr_slot(spark):
     # env-spec loading (how executors get the backend): resolvable path
     from ocr_award_extractor_spark.functions import ocr_slot
 
-    assert ocr_slot._load_backend_spec("") is False
-    assert ocr_slot._load_backend_spec("math:sqrt") is True   # resolves+installs
-    register_ocr_backend(None)
+    try:
+        assert ocr_slot._load_backend_spec("") is False
+        assert ocr_slot._load_backend_spec("math:sqrt") is True  # resolves+installs
+    finally:
+        register_ocr_backend(None)
+
+
+def test_ocr_slot_conf_pairing_and_sniff_precision():
+    """Blank lines drop their confidences WITH them (cert:139-143), the
+    2-byte BM prefix alone must not classify text as bmp, and a broken
+    backend spec degrades to attributed error rows, never an exception."""
+    from ocr_award_extractor_spark.functions import ocr_slot
+    from ocr_award_extractor_spark.functions.ocr_slot import (
+        ocr_image_page, register_ocr_backend, sniff_image,
+    )
+
+    register_ocr_backend(lambda p: (["", "一等奖", "  ", "张三"],
+                                    [0.2, 0.99, 0.3, 0.88]))
+    try:
+        page = ocr_image_page(b"\x89PNG...", "png")
+        assert page["lines"] == ["一等奖", "张三"]
+        assert page["confs"] == [0.99, 0.88]   # paired, not truncated
+    finally:
+        register_ocr_backend(None)
+
+    assert sniff_image(b"BMW is a carmaker, not a bitmap") is None
+    assert sniff_image(b"BM" + b"\x36\x00\x00\x00" + b"\x00\x00\x00\x00" + b"x" * 20) == "bmp"
+    assert sniff_image(b"\xff\xd8\xff\xe0jpeg") == "jpeg"
+
+    # bad spec: recorded, surfaced per image row, never raised
+    try:
+        ocr_slot._load_backend_spec("no_such_module_xyz:fn")
+        raise AssertionError("expected import failure")
+    except ImportError:
+        pass
+    ocr_slot._BACKEND_SPEC_ERROR = "OCR backend spec failed to load: boom"
+    try:
+        page = ocr_image_page(b"\x89PNG...", "png")
+        assert page["status"] == "error" and "boom" in page["message"]
+    finally:
+        ocr_slot._BACKEND_SPEC_ERROR = None
