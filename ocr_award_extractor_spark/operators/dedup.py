@@ -106,6 +106,48 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs, component id = min doc_id (the canonical keeper) —
+    the step a dedup pipeline runs after pair generation so each group
+    keeps exactly one document. Singletons are their own component.
+
+    Spark shape: iterative min-label propagation (labels join edges →
+    groupBy min), converging in O(component diameter) rounds — LSH-dup
+    components are near-cliques so a handful suffices; the loop stops at
+    an actual fixpoint (changed-count action per round). At 10⁹ docs use
+    the alternating large-star/small-star formulation (O(log n) rounds,
+    same join primitives) and persist+checkpoint each round to cut lineage
+    — at this scale the plain loop is the clearer spelling."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(CC_MAX_ITERS):
+        nbr = edges.join(labels, edges["src"] == labels["doc_id"]).select(
+            F.col("dst").alias("doc_id"), "comp"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        new = new.localCheckpoint()   # cut the per-round lineage chain
+        changed = (
+            labels.alias("a").join(new.alias("b"), "doc_id")
+            .where(F.col("a.comp") != F.col("b.comp")).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------- simhash
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over whitespace tokens (occurrence-weighted): per-bit
@@ -221,6 +263,26 @@ ORACLES = {
                sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
         FROM votes GROUP BY doc_id
     """,
+    # connected components via recursive reachability: comp(doc) = min
+    # doc_id reachable over the (bidirectional) LSH candidate edges
+    "dedup_clusters": f"""
+        WITH RECURSIVE sig AS ({_SIG_SQL}
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({_BAND_COND})
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT reach.doc_id, e.dst
+            FROM reach JOIN edges e ON e.src = reach.r
+        )
+        SELECT doc_id, min(r) AS comp FROM reach GROUP BY doc_id
+    """,
     "jaccard_adjacent_pairs": """
         WITH tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -247,6 +309,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signature": minhash_signature,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_clusters": dedup_clusters,
     "simhash": simhash,
     "jaccard_adjacent_pairs": jaccard_adjacent_pairs,
 }

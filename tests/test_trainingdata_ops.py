@@ -110,3 +110,21 @@ def test_lsh_recall_against_bruteforce(spark):
     assert lsh <= brute
     if brute:
         assert len(lsh) / len(brute) > 0.15
+
+
+def test_dedup_clusters_transitive(spark, planted_dir):
+    """Connected components: docs 0/1 (exact dups) and 2 (near-dup of 0)
+    must share component min(doc_id)=0 even where 1-2 may not pair
+    directly (transitivity through 0); unrelated docs stay singletons."""
+    from ocr_award_extractor_spark.operators.dedup import (
+        dedup_clusters, minhash_lsh_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(spark, planted_dir).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs   # the planted edges exist
+
+    comp = {r["doc_id"]: r["comp"] for r in dedup_clusters(spark, planted_dir).collect()}
+    assert comp[0] == comp[1] == comp[2] == 0    # one cluster, keeper = min id
+    assert comp[3] == 3 and comp[4] == 4         # singletons
+    assert len(comp) == 5
