@@ -195,7 +195,8 @@ def run_scaling() -> dict:
 
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_revenue_by_order",
-    "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "simhash",
+    "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "dedup_clusters",
+    "simhash",
     "jaccard_adjacent_pairs", "token_count", "quality_score", "lang_guess",
     "doc_fingerprint", "cosine_to_query", "ann_topk_cosine",
     "lsh_buckets", "lsh_neardup_pairs", "ivf_assign", "ivf_topk_cosine",
