@@ -127,7 +127,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
+    # materialize once: every propagation round joins against edges, and
+    # without this the whole shingle→minhash→LSH subtree re-executes per
+    # round (measured 17.9s → ~5s at sf0.1)
+    edges = edges.localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    prev_sum = None
     for _ in range(CC_MAX_ITERS):
         nbr = edges.join(labels, edges["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "comp"
@@ -138,13 +143,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("comp").alias("comp"))
         )
         new = new.localCheckpoint()   # cut the per-round lineage chain
-        changed = (
-            labels.alias("a").join(new.alias("b"), "doc_id")
-            .where(F.col("a.comp") != F.col("b.comp")).count()
-        )
+        # comp only ever DECREASES per doc, so sum(comp) strictly drops iff
+        # any label changed — a one-aggregate fixpoint test (no diff join)
+        s = new.agg(F.sum("comp")).collect()[0][0]
         labels = new
-        if changed == 0:
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels
 
 
