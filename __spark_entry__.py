@@ -147,6 +147,10 @@ def oracle_sql() -> dict[str, str]:
     # full-pipeline text byte-identity: regex-chunk text into 12-word lines
     # (trailing 1-char runt merges into the previous line), construct the
     # same url, compare md5 of the newline-joined result.
+    # PRECONDITION (holds for the driver generator, pinned by
+    # tests/test_pipeline_spark.py::test_driver_corpus_text_invariants):
+    # text is single-space separated, stripped, with ≥2 total chars —
+    # the regex reconstruction and webify.text_to_lines diverge outside it.
     o["extract_pipeline_text"] = r"""
         SELECT 'https://' || source || '.example/' || lang || '/doc'
                  || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,

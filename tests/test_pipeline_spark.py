@@ -222,3 +222,26 @@ def test_ocr_slot_conf_pairing_and_sniff_precision():
         assert page["status"] == "error" and "boom" in page["message"]
     finally:
         ocr_slot._BACKEND_SPEC_ERROR = None
+
+
+def test_driver_corpus_text_invariants():
+    """The extract_pipeline_text/pdf oracles reconstruct the expected text
+    with a regex that assumes single-space-separated, stripped, non-trivial
+    text. Pin that the driver corpus satisfies the precondition at every
+    scale present (a reseeded corpus violating it would otherwise fail the
+    gate mysteriously)."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        bad = duckdb.sql(f"""
+            SELECT count(*) FROM read_parquet('{path}')
+            WHERE text LIKE '%  %' OR text LIKE ' %' OR text LIKE '% '
+               OR length(text) < 2
+               OR regexp_matches(text, '[\\t\\n\\r]')
+        """).fetchone()[0]
+        assert bad == 0, f"{sf}: {bad} docs violate the oracle text precondition"
