@@ -127,13 +127,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
+    return connected_components(docs, edges)
+
+
+def connected_components(docs: DataFrame, edges: DataFrame,
+                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation + pointer jumping over (src, dst) edges;
+    docs(doc_id) supplies the vertex set (singletons included)."""
     # materialize once: every propagation round joins against edges, and
-    # without this the whole shingle→minhash→LSH subtree re-executes per
-    # round (measured 17.9s → ~5s at sf0.1)
+    # without this the edge-producing subtree (shingle→minhash→LSH when
+    # called from dedup_clusters) re-executes per round
     edges = edges.localCheckpoint()
     labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
     prev_sum = None
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(max_iters):
         nbr = edges.join(labels, edges["src"] == labels["doc_id"]).select(
             F.col("dst").alias("doc_id"), "comp"
         )
@@ -142,7 +149,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.min("comp").alias("comp"))
         )
-        new = new.localCheckpoint()   # cut the per-round lineage chain
+        # checkpoint BEFORE the self-join: cuts the per-round lineage AND
+        # materializes the aggregate once (the join reads it twice)
+        new = new.localCheckpoint()
+        # pointer jumping: comp ← comp[comp] (comp values are doc_ids, so
+        # the self-join always hits). Halves the remaining diameter every
+        # round — convergence in O(log diameter) rounds, so the iteration
+        # cap covers chains of length 2^max_iters, not max_iters
+        new = (
+            new.alias("x")
+            .join(new.alias("y"), F.col("x.comp") == F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_id"),
+                    F.col("y.comp").alias("comp"))
+        )
         # comp only ever DECREASES per doc, so sum(comp) strictly drops iff
         # any label changed — a one-aggregate fixpoint test (no diff join)
         s = new.agg(F.sum("comp")).collect()[0][0]

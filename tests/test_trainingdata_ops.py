@@ -128,3 +128,22 @@ def test_dedup_clusters_transitive(spark, planted_dir):
     assert comp[0] == comp[1] == comp[2] == 0    # one cluster, keeper = min id
     assert comp[3] == 3 and comp[4] == 4         # singletons
     assert len(comp) == 5
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping: a 30-doc CHAIN (diameter 29 > plain-propagation
+    budget) must still collapse to one component within the iteration cap
+    — O(log diameter) rounds, the property that matters at crawl scale."""
+    from pyspark.sql import functions as F2
+
+    from ocr_award_extractor_spark.operators.dedup import connected_components
+
+    docs = spark.range(30).select(F2.col("id").alias("doc_id"))
+    chain = spark.range(29).select(
+        F2.col("id").alias("src"), (F2.col("id") + 1).alias("dst")
+    )
+    edges = chain.union(chain.select(F2.col("dst").alias("src"),
+                                     F2.col("src").alias("dst")))
+    comp = {r["doc_id"]: r["comp"]
+            for r in connected_components(docs, edges, max_iters=8).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 30
