@@ -212,6 +212,23 @@ def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side dedup clusters: connected components over the
+    bucketed cosine near-dup pairs (component id = min vec_id = keeper) —
+    the same keep-one-per-group step as the text-side dedup_clusters,
+    sharing its pointer-jumping propagation."""
+    from ocr_award_extractor_spark.operators.dedup import connected_components
+
+    pairs = lsh_neardup_pairs(spark, sf_dir)
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    edges = pairs.selectExpr("va AS src", "vb AS dst").union(
+        pairs.selectExpr("vb AS src", "va AS dst")
+    )
+    return connected_components(
+        vecs.withColumnRenamed("vec_id", "doc_id"), edges
+    ).withColumnRenamed("doc_id", "vec_id")
+
+
 # ------------------------------------------------------------------ oracles
 _Q_CTE = f"""
     WITH qv AS (
@@ -347,6 +364,34 @@ ORACLES = {
         FROM pairs
         WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) >= {NEARDUP_THRESHOLD}
     """,
+    "embedding_neardup_clusters": f"""
+        WITH RECURSIVE ev AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, e,
+                   {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
+            FROM ev
+        ), pairs AS (
+            SELECT a.vec_id AS va, bb.vec_id AS vb
+            FROM b a JOIN b bb
+              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+            WHERE CAST({_dot_sql("a.e", "bb.e")} AS DOUBLE)
+                  / sqrt(CAST({_dot_sql("a.e", "a.e")} * {_dot_sql("bb.e", "bb.e")} AS DOUBLE))
+                  >= {NEARDUP_THRESHOLD}
+        ), edges AS (
+            SELECT va AS src, vb AS dst FROM pairs
+            UNION ALL
+            SELECT vb AS src, va AS dst FROM pairs
+        ), reach(vec_id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT reach.vec_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+        )
+        SELECT vec_id, min(r) AS comp FROM reach GROUP BY vec_id
+    """,
     "ivf_assign": _IVF_ASSIGN_CTE + """
         SELECT vec_id, label, CAST(cid AS BIGINT) AS centroid FROM a1
     """,
@@ -374,6 +419,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "lsh_buckets": lsh_buckets,
     "lsh_neardup_pairs": lsh_neardup_pairs,
+    "embedding_neardup_clusters": embedding_neardup_clusters,
     "ivf_assign": ivf_assign,
     "ivf_topk_cosine": ivf_topk_cosine,
 }
