@@ -116,12 +116,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps exactly one document. Singletons are their own component.
 
     Spark shape: iterative min-label propagation (labels join edges →
-    groupBy min), converging in O(component diameter) rounds — LSH-dup
-    components are near-cliques so a handful suffices; the loop stops at
-    an actual fixpoint (changed-count action per round). At 10⁹ docs use
-    the alternating large-star/small-star formulation (O(log n) rounds,
-    same join primitives) and persist+checkpoint each round to cut lineage
-    — at this scale the plain loop is the clearer spelling."""
+    groupBy min) plus POINTER JUMPING (comp ← comp[comp]) each round, so
+    convergence is O(log component diameter) — the iteration cap covers
+    2^max_iters-long transitive chains. The loop stops at a true fixpoint
+    via the sum(comp) monotone-decrease test (one aggregate per round, no
+    diff join); each round localCheckpoints to bound lineage. At 10⁹ docs
+    the same primitives scale (two checkpointed joins per round); the
+    alternating large-star/small-star formulation is the classic
+    equivalent if round count ever matters more than per-round cost."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
@@ -155,13 +157,20 @@ def connected_components(docs: DataFrame, edges: DataFrame,
         # pointer jumping: comp ← comp[comp] (comp values are doc_ids, so
         # the self-join always hits). Halves the remaining diameter every
         # round — convergence in O(log diameter) rounds, so the iteration
-        # cap covers chains of length 2^max_iters, not max_iters
+        # cap covers chains of length 2^max_iters, not max_iters.
+        # (right side column-renamed, not alias()ed: fresh attribute ids —
+        # localCheckpoint of an alias self-join trips an analyzer
+        # NoSuchElementException on shared ids in Spark 4.1)
+        right = new.select(F.col("doc_id").alias("jid"),
+                           F.col("comp").alias("jcomp"))
         new = (
-            new.alias("x")
-            .join(new.alias("y"), F.col("x.comp") == F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("doc_id"),
-                    F.col("y.comp").alias("comp"))
+            new.join(right, F.col("comp") == F.col("jid"))
+            .select("doc_id", F.col("jcomp").alias("comp"))
         )
+        # materialize the jumped labels too: the fixpoint sum, the next
+        # round's edge join, AND its union all read this frame — without
+        # this the self-join re-executes three times per round
+        new = new.localCheckpoint()
         # comp only ever DECREASES per doc, so sum(comp) strictly drops iff
         # any label changed — a one-aggregate fixpoint test (no diff join)
         s = new.agg(F.sum("comp")).collect()[0][0]

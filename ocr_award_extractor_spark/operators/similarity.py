@@ -310,6 +310,34 @@ _IVF_ASSIGN_CTE = f"""
 """
 
 
+# shared bucketed-near-dup pair CTEs (lsh_neardup_pairs AND the clusters
+# oracle compose from this — one spelling of the LSH/threshold logic)
+_LSH_PAIR_CTE = f"""
+        ev AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, e,
+                   {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
+            FROM ev
+        ), pairs AS (
+            SELECT a.vec_id AS va, bb.vec_id AS vb,
+                   {_dot_sql("a.e", "bb.e")} AS dot_ab,
+                   {_dot_sql("a.e", "a.e")} AS n2_a,
+                   {_dot_sql("bb.e", "bb.e")} AS n2_b
+            FROM b a JOIN b bb
+              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        ), neardup AS (
+            SELECT va, vb,
+                   CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) AS cos_sim
+            FROM pairs
+            WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE))
+                  >= {NEARDUP_THRESHOLD}
+        )
+"""
+
 ORACLES = {
     "cosine_to_query": _Q_CTE + """
         SELECT vec_id, label, dot_q,
@@ -342,49 +370,15 @@ ORACLES = {
     # the bucketed scale path is itself deterministic (same hyperplanes both
     # sides), so the recall-bounded candidate set is exactly reproducible
     "lsh_neardup_pairs": f"""
-        WITH ev AS (
-            SELECT vec_id,
-                   list_transform(embedding,
-                                  x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
-            FROM embeddings
-        ), b AS (
-            SELECT vec_id, e,
-                   {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
-            FROM ev
-        ), pairs AS (
-            SELECT a.vec_id AS va, bb.vec_id AS vb,
-                   {_dot_sql("a.e", "bb.e")} AS dot_ab,
-                   {_dot_sql("a.e", "a.e")} AS n2_a,
-                   {_dot_sql("bb.e", "bb.e")} AS n2_b
-            FROM b a JOIN b bb
-              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-        )
-        SELECT va, vb,
-               CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) AS cos_sim
-        FROM pairs
-        WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) >= {NEARDUP_THRESHOLD}
+        WITH {_LSH_PAIR_CTE}
+        SELECT va, vb, cos_sim FROM neardup
     """,
     "embedding_neardup_clusters": f"""
-        WITH RECURSIVE ev AS (
-            SELECT vec_id,
-                   list_transform(embedding,
-                                  x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
-            FROM embeddings
-        ), b AS (
-            SELECT vec_id, e,
-                   {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
-            FROM ev
-        ), pairs AS (
-            SELECT a.vec_id AS va, bb.vec_id AS vb
-            FROM b a JOIN b bb
-              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-            WHERE CAST({_dot_sql("a.e", "bb.e")} AS DOUBLE)
-                  / sqrt(CAST({_dot_sql("a.e", "a.e")} * {_dot_sql("bb.e", "bb.e")} AS DOUBLE))
-                  >= {NEARDUP_THRESHOLD}
-        ), edges AS (
-            SELECT va AS src, vb AS dst FROM pairs
+        WITH RECURSIVE {_LSH_PAIR_CTE}
+        , edges AS (
+            SELECT va AS src, vb AS dst FROM neardup
             UNION ALL
-            SELECT vb AS src, va AS dst FROM pairs
+            SELECT vb AS src, va AS dst FROM neardup
         ), reach(vec_id, r) AS (
             SELECT vec_id, vec_id FROM embeddings
             UNION
