@@ -232,6 +232,31 @@ _FAST_CDATA_CLOSE = {
 _FAST_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
+def _stdlib_fast_compatible() -> bool:
+    """The fast scanner mirrors CPython 3.11 html.parser tokenization
+    details. Those are PRIVATE stdlib behavior — 3.13 changed
+    set_cdata_mode to end CDATA at '</script' + space/slash, which would
+    silently diverge from _FAST_CDATA_CLOSE. Probe the live interpreter's
+    actual patterns at import; on any mismatch the fast path is disabled
+    and every document takes the stdlib parser (slower, never wrong)."""
+    try:
+        import _markupbase as _mb
+        from html.parser import HTMLParser as _HP
+
+        probe = _HP()
+        probe.set_cdata_mode("script")
+        return (
+            probe.interesting.pattern == _FAST_CDATA_CLOSE["script"].pattern
+            and _mb._commentclose.pattern == _FAST_COMMENT_CLOSE.pattern
+            and _HP.CDATA_CONTENT_ELEMENTS == ("script", "style")
+        )
+    except Exception:
+        return False
+
+
+_FAST_ENABLED = _stdlib_fast_compatible()
+
+
 def _fast_attrs(blob: str):
     """attrfind_tolerant loop over the attr blob. The leading space
     supplies the regex's lookbehind (mirroring the whitespace tagfind
@@ -347,7 +372,10 @@ def _fast_scan(rd: str, seg: _Segmenter) -> None:
 
 def segment_html(html_str: str) -> list[Segment]:
     """Parse HTML into document-order text segments: fast scanner first,
-    stdlib HTMLParser whenever the scanner declines the document."""
+    stdlib HTMLParser whenever the scanner declines the document (or the
+    interpreter's html.parser internals drifted — see _FAST_ENABLED)."""
+    if not _FAST_ENABLED:
+        return segment_html_stdlib(html_str)
     seg = _Segmenter()
     try:
         _fast_scan(html_str, seg)

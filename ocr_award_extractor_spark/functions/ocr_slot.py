@@ -40,8 +40,11 @@ def register_ocr_backend(fn: Callable[[bytes], tuple[list[str], list[float]]] | 
     (via ``spark.executorEnv.…`` / ``spark.yarn.appMasterEnv.…``): each
     worker resolves the import path once at module import. Direct
     registration is for driver-side use and tests."""
-    global _BACKEND
+    global _BACKEND, _BACKEND_SPEC_ERROR
     _BACKEND = fn
+    # a stale import-time spec failure must not shadow the ordinary
+    # "needs an OCR backend" hint once a backend is explicitly set/cleared
+    _BACKEND_SPEC_ERROR = None
 
 
 def _load_backend_spec(spec: str | None = None) -> bool:

@@ -172,8 +172,11 @@ def connected_components(docs: DataFrame, edges: DataFrame,
         # this the self-join re-executes three times per round
         new = new.localCheckpoint()
         # comp only ever DECREASES per doc, so sum(comp) strictly drops iff
-        # any label changed — a one-aggregate fixpoint test (no diff join)
-        s = new.agg(F.sum("comp")).collect()[0][0]
+        # any label changed — a one-aggregate fixpoint test (no diff join).
+        # decimal(38,0) sum: with sparse 64-bit vertex ids (e.g. xxhash-
+        # derived) a non-ANSI int64 sum could wrap, and a wrapped-equal sum
+        # would end propagation early with wrong components
+        s = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
         labels = new
         if s == prev_sum:
             break
@@ -293,7 +296,10 @@ ORACLES = {
             SELECT doc_id, b, sum(c) AS vote FROM bits GROUP BY doc_id, b
         )
         SELECT doc_id,
-               sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+               -- CAST: DuckDB sum(BIGINT) returns HUGEINT; values equal
+               -- Spark's but the driver hashes the int128 differently
+               CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
     """,
     # connected components via recursive reachability: comp(doc) = min

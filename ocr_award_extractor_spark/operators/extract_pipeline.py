@@ -165,33 +165,40 @@ def extract_documents_tiered(
     salted stage), so the straggler tail is bounded by ONE jumbo, not a
     partition's worth.
 
-    ``threshold_bytes=None`` computes the ``jumbo_quantile`` cut with
-    percentile_approx — locally that scans html lengths; on a real table
-    store an ``n_bytes`` column (or use Iceberg column stats) so the
-    pre-pass reads one int column, and pass the cut in explicitly. Results
-    are identical to :func:`extract_documents` (row-wise op; routing only
-    changes physical layout).
+    ``threshold_bytes=None`` derives the ``jumbo_quantile`` cut with
+    percentile_approx as a LAZY broadcast scalar (a 1-row aggregate
+    cross-joined in, so building the DataFrame runs no job — the cut is
+    computed when the query executes). The aggregate subtree appears once
+    per branch; on a real table store an ``n_bytes`` column (or use
+    Iceberg column stats) and pass the cut in explicitly so the pre-pass
+    doesn't scan html twice. Results are identical to
+    :func:`extract_documents` (row-wise op; routing only changes physical
+    layout).
     """
     from ocr_award_extractor_spark.config import ensure_package_on_workers
 
     ensure_package_on_workers(df.sparkSession)
     cols = df.select(*_IN_COLS)
     if threshold_bytes is None:
-        threshold_bytes = cols.select(
-            F.percentile_approx(F.length("html"), jumbo_quantile).alias("t")
-        ).collect()[0]["t"]
-    if threshold_bytes is None:   # empty / all-NULL input: nothing is jumbo
-        threshold_bytes = (1 << 62)
+        thr = cols.agg(
+            F.percentile_approx(F.length("html"), jumbo_quantile).alias("__thr")
+        )
+        base = cols.crossJoin(F.broadcast(thr))
+        # NULL percentile (empty / all-NULL input) ⇒ nothing is jumbo
+        thr_col = F.coalesce(F.col("__thr").cast("long"), F.lit(1 << 62))
+    else:
+        base = cols.withColumn("__thr", F.lit(int(threshold_bytes)).cast("long"))
+        thr_col = F.col("__thr")
     # coalesce: NULL html must take the normal branch (→ error row there),
     # not vanish — both where() sides would drop a NULL predicate row
-    is_jumbo = F.coalesce(F.length("html"), F.lit(0)) > F.lit(int(threshold_bytes))
+    is_jumbo = F.coalesce(F.length("html"), F.lit(0)) > thr_col
     normal = (
-        cols.where(~is_jumbo)
+        base.where(~is_jumbo).select(*_IN_COLS)
         .repartition(salt_partitions, F.xxhash64("url", F.lit(SALT_SEED)))
         .mapInPandas(extract_batch, OUT_SCHEMA)
     )
     jumbo = (
-        cols.where(is_jumbo)
+        base.where(is_jumbo).select(*_IN_COLS)
         .repartition(jumbo_partitions or salt_partitions)   # round-robin spread
         .mapInPandas(extract_batch, OUT_SCHEMA)
     )

@@ -150,13 +150,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: partial-agg-friendly groupBy over lineitem; at scale
     this is one shuffle with map-side combine (whole-stage codegen)."""
     li = load_table(spark, sf_dir, "lineitem")
+    # DECIMAL sums: exact in both engines, so the value is independent of
+    # accumulation order (a double sum passes only while the orders happen
+    # to agree — see salted_skew_join_revenue)
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -174,9 +180,10 @@ def q3_revenue_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
     )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         joined.groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(disc_price), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -319,10 +326,15 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(
         dim, (fact["l_orderkey"] == dim["o_orderkey"]) & (fact["salt"] == dim["salt"])
     )
+    # DECIMAL summation: round(sum(double),2) is accumulation-order-
+    # sensitive and salting reorders the accumulation vs the oracle's plain
+    # join (4/1500 groups differed by one cent in round 1). Decimal sums
+    # are exact in both engines, so the salted plan is provably equal to
+    # the unsalted oracle regardless of order.
+    item_rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return joined.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("revenue"),
+        F.round(F.sum(item_rev), 2).cast("double").alias("revenue"),
     )
 
 
@@ -335,7 +347,8 @@ ORACLES = {
     """,
     "salted_skew_join_revenue": """
         SELECT o.o_custkey, count(*) AS n_items,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_custkey
     """,
@@ -353,8 +366,10 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
             SELECT user_id, ts, value,
-                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+                   -- CAST: DuckDB window sum(BIGINT) yields HUGEINT; values
+                   -- equal Spark's LONG but hash differently in the driver
+                   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
             FROM o
         )
         SELECT user_id, session_seq, count(*) AS n_events,
@@ -419,9 +434,10 @@ ORACLES = {
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
                round(avg(l_quantity), 4) AS avg_qty,
                count(*) AS count_order
         FROM lineitem
@@ -468,7 +484,8 @@ ORACLES = {
     """,
     "q3_revenue_by_order": """
         SELECT o_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders   ON o_custkey = c_custkey
         JOIN lineitem ON l_orderkey = o_orderkey

@@ -57,7 +57,16 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword hits and ratio, punctuation count. Ratios are doubles divided
     from exact ints — bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
+    # split once in a pre-projection: CollapseProject keeps a non-cheap
+    # alias referenced >1× as its own Project, so the plan evaluates ONE
+    # split/filter instead of re-tokenizing per derived column
+    docs = docs.select(
+        "doc_id",
+        F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
+        .cast("long").alias("n_punct"),
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks).cast("long")
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
@@ -65,7 +74,6 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
     ).cast("long")
-    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0))).cast("long")
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -73,7 +81,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sum_len.cast("double") / n_tok.cast("double")).alias("mean_token_len"),
         stop_hits.alias("stop_hits"),
         (stop_hits.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
-        punct.alias("n_punct"),
+        "n_punct",
     )
 
 
@@ -81,7 +89,9 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free heuristic language ID: stopword votes per language with
     a pinned priority order (en > fr > de > es) on ties."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    # one split for all four language counters (see quality_score note)
+    docs = docs.select("doc_id", "lang", _tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     def _hit_counter(words):
         return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 

@@ -31,12 +31,20 @@ def _canon(v):
     return str(v)
 
 
-def compare(name, spark_df, duck_rows, duck_cols):
+def compare(name, spark_df, duck_rows, duck_cols, duck_types=None):
     s_cols = list(spark_df.columns)
     s_rows = spark_df.collect()
     problems = []
     if sorted(s_cols) != sorted(duck_cols):
         problems.append(f"columns {s_cols} vs {duck_cols}")
+    # the driver's hasher renders DuckDB HUGEINT (int128) / DECIMAL columns
+    # differently from BIGINT/DOUBLE even when every value is equal — this
+    # script's str() canon can't see that, so flag the types directly
+    # (round-1 lesson: sessionize_events/simhash passed here, failed there)
+    for c, t in zip(duck_cols, duck_types or []):
+        if any(k in str(t).upper() for k in ("HUGEINT", "DECIMAL")):
+            problems.append(
+                f"oracle column {c} has driver-hash-unsafe type {t}: CAST it")
     if len(s_rows) != len(duck_rows):
         problems.append(f"rowcount {len(s_rows)} vs {len(duck_rows)}")
     if not problems:
@@ -79,7 +87,8 @@ def main():
             print(f"  {name:34s} rows-only: {n} rows")
             continue
         rel = con.sql(oracles[name])
-        problems = compare(name, df, rel.fetchall(), list(rel.columns))
+        problems = compare(name, df, rel.fetchall(), list(rel.columns),
+                           list(rel.types))
         if problems:
             failed.append(name)
             print(f"✗ {name:34s} {problems}")
