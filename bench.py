@@ -193,6 +193,70 @@ def run_scaling() -> dict:
     }
 
 
+def run_approx_quality(spark) -> dict:
+    """Recall/sublinearity instrumentation for the approximate paths
+    (VERDICT r1 #4): banded-LSH near-dup recall vs the exact cosine
+    ground truth, candidate-pair counts vs n² (the scale property), and
+    IVF top-k overlap vs the brute-force top-k. Ground truth is computed
+    in numpy (measurement harness, not engine — the engine's own exact
+    baseline embedding_neardup_pairs is oracle-checked separately)."""
+    import numpy as np
+
+    from ocr_award_extractor_spark.operators.similarity import (
+        NEARDUP_THRESHOLD, QUANT, TOP_K, _corpus_lsh_params,
+        ann_topk_cosine, ivf_topk_cosine, lsh_candidate_pairs,
+        lsh_neardup_pairs,
+    )
+
+    out = {}
+    for sf_dir in ("/root/testdata/sf0.01", SF_DIR):
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        rows = emb.select("vec_id", "embedding").collect()
+        rows.sort(key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows])
+        E = np.round(np.array([r["embedding"] for r in rows], dtype=np.float64) * QUANT)
+        n = len(E)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        cos = En @ En.T
+        iu = np.triu_indices(n, 1)
+        true = {(int(ids[i]), int(ids[j]))
+                for i, j in zip(*[x[cos[iu] >= NEARDUP_THRESHOLD] for x in iu])}
+
+        bands, rws = _corpus_lsh_params(sf_dir)
+        n_cand = lsh_candidate_pairs(spark, sf_dir).count()
+        got = {(r["va"], r["vb"])
+               for r in lsh_neardup_pairs(spark, sf_dir).collect()}
+        ann = [r["vec_id"] for r in ann_topk_cosine(spark, sf_dir).collect()]
+        ivf = [r["vec_id"] for r in ivf_topk_cosine(spark, sf_dir).collect()]
+        out[tag] = {
+            "n_vectors": n,
+            "lsh_bands": bands, "lsh_rows": rws,
+            "candidate_pairs": n_cand,
+            "candidate_frac_of_all_pairs": round(n_cand / (n * (n - 1) / 2), 4),
+            "true_pairs": len(true),
+            "lsh_pairs": len(got),
+            "lsh_recall": round(len(got & true) / max(1, len(true)), 4),
+            "lsh_false_pairs": len(got - true),
+            "ivf_topk_overlap": round(len(set(ann) & set(ivf)) / TOP_K, 3),
+        }
+        log(f"  approx[{tag}]: n={n} (B={bands},R={rws}) cand={n_cand} "
+            f"recall={out[tag]['lsh_recall']} ivf_overlap={out[tag]['ivf_topk_overlap']}")
+
+    tags = list(out)
+    if len(tags) == 2 and out[tags[0]]["candidate_pairs"]:
+        a, b = out[tags[0]], out[tags[1]]
+        n2_ratio = (b["n_vectors"] / a["n_vectors"]) ** 2
+        cand_ratio = b["candidate_pairs"] / a["candidate_pairs"]
+        out["sublinearity"] = {
+            "n2_ratio": round(n2_ratio, 2),
+            "candidate_ratio": round(cand_ratio, 2),
+            "sublinear": cand_ratio < n2_ratio,
+        }
+        log(f"  candidates grew x{cand_ratio:.1f} while n^2 grew x{n2_ratio:.1f}")
+    return out
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_revenue_by_order",
     "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "dedup_clusters",
@@ -245,6 +309,8 @@ def main() -> None:
         rows = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
         log(f"  {name}: {rows} rows in {timings[name]}s")
+
+    approx = run_approx_quality(spark)
     spark.stop()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -257,6 +323,7 @@ def main() -> None:
         "bench_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["extract_pipeline"], 1),
         "scaling": scaling,
+        "approx_quality": approx,
     }
     print(json.dumps(result))
 

@@ -31,12 +31,89 @@ NEARDUP_THRESHOLD = 0.35
 TOP_K = 10
 IVF_K = 8  # coarse centroids; deterministic = embeddings of vec_id 0..K-1
 
-# deterministic pseudo-random hyperplanes for LSH (shared with the oracle)
-LSH_PLANES = 8
-LSH_WEIGHTS = [
-    [((p * 1009 + d * 917) % 2001) - 1000 for d in range(DIM)]
-    for p in range(LSH_PLANES)
-]
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH with banded AND/OR amplification (the MinHash b×r
+# scheme applied to sign bits — Charikar's SimHash planes, Leskovec et al.
+# MMDS ch.3 banding): R planes per band AND together (bucket key = R sign
+# bits), B bands OR together (a pair is a candidate if it collides in ANY
+# band).
+#
+# Candidate-count math (why this survives scale-up, unlike a fixed bucket
+# count): P(two vectors agree on one plane) = 1 - θ/π. A random pair
+# (cos≈0 ⇒ p≈0.5) collides in a band w.p. ~2⁻ᴿ, so expected candidates ≈
+# B·n²/2ᴿ⁺¹. Growing R with log₂(n) (lsh_params below) keeps per-band
+# buckets at a CONSTANT size m=n/2ᴿ, so candidates grow ~B·n·m — linear in
+# n times the (slowly growing) band count, not quadratic. A pair at the
+# design threshold (cos=0.35 ⇒ p≈0.62) survives with recall
+# 1-(1-pᴿ)ᴮ, which lsh_params holds at TARGET_RECALL by solving for B.
+# Measured at sf0.01→sf0.1 (n 500→2000): candidates ×11.4 while n² ×16,
+# recall flat at ~0.76 (see bench.py recall instrumentation).
+#
+# Weights are a deterministic 64-bit LCG (values in [-1000,1000]) — the
+# literal integers are embedded in BOTH the Spark plan and the generated
+# DuckDB oracle SQL, so the bucketed candidate set is exactly reproducible.
+# (The round-1 affine formula (p·1009+d·917) mod 2001 produced strongly
+# correlated planes — single-band collision fraction 20% vs the ~0.4% a
+# random R=8 band gives; this LCG restores the independence the math
+# above assumes.)
+LSH_SEED = 0x5EED
+LSH_BANDS = 15   # = lsh_params(500)[0]: the oracle gate runs at sf0.01
+LSH_ROWS = 5     # = lsh_params(500)[1]
+LSH_TARGET_BUCKET = 16
+LSH_DESIGN_P = 0.62      # plane-agreement prob at NEARDUP_THRESHOLD=0.35
+LSH_TARGET_RECALL = 0.75
+
+
+def _lcg_weights(n_planes: int, dim: int = DIM, seed: int = LSH_SEED) -> list[list[int]]:
+    """Deterministic hyperplane weights: a 64-bit LCG (Knuth MMIX
+    constants), top bits reduced to [-1000, 1000]. Pure integer Python —
+    identical on every interpreter, no RNG-module dependency."""
+    s = seed
+    out = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(int((s >> 33) % 2001) - 1000)
+        out.append(row)
+    return out
+
+
+def lsh_params(n: int, target_bucket: int = LSH_TARGET_BUCKET,
+               design_p: float = LSH_DESIGN_P,
+               target_recall: float = LSH_TARGET_RECALL) -> tuple[int, int]:
+    """(bands, rows) for a corpus of n vectors: rows R = log₂(n/m) keeps
+    per-band buckets at m vectors (candidates ~ B·n·m, sublinear in n²);
+    bands B = ⌈ln(1-ρ)/ln(1-pᴿ)⌉ holds recall ρ at the design threshold."""
+    import math
+
+    rows = max(4, math.ceil(math.log2(max(2.0, n / target_bucket))))
+    band_miss = 1.0 - design_p ** rows
+    bands = max(2, math.ceil(math.log(1.0 - target_recall) / math.log(band_miss)))
+    return bands, rows
+
+
+LSH_WEIGHTS = _lcg_weights(LSH_BANDS * LSH_ROWS)
+
+
+def _corpus_lsh_params(sf_dir: str) -> tuple[int, int]:
+    """(bands, rows) for the corpus at sf_dir, sized from the parquet
+    FOOTER row count (a metadata read — no Spark job at plan-build time).
+    At the driver's sf0.01 oracle gate n=500 ⇒ exactly (LSH_BANDS,
+    LSH_ROWS), matching the static oracle SQL; at larger scale factors the
+    same queries() entry gets log(n)-grown planes — the property that
+    keeps candidates sublinear in n². Falls back to the module constants
+    if the footer can't be read."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+        return lsh_params(n)
+    except Exception:
+        return LSH_BANDS, LSH_ROWS
 
 
 def _quant(col):
@@ -44,6 +121,10 @@ def _quant(col):
 
 
 def _dot(a, b):
+    """Exact integer dot product via the higher-order aggregate. (An
+    explicit 64-term element_at sum was measured SLOWER here — the
+    expanded expressions blow up the generated code past JIT limits; the
+    HOF form stays compact and the lambda loop is array-local.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"), lambda acc, x: acc + x,
@@ -61,11 +142,15 @@ def _with_query(spark: SparkSession, sf_dir: str, query_vec_id: int = 0):
         .select(_quant(F.col("embedding")).alias("qv"))
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        # quantize ONCE in a pre-projection: _dot/_norm2 expand to 64
+        # element_at terms, which must read a materialized array, not
+        # re-run the quantizing transform per term
+        emb.select("vec_id", "label", _quant(F.col("embedding")).alias("qe"))
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id", "label",
-            _dot(_quant(F.col("embedding")), F.col("qv")).alias("dot_q"),
-            _norm2(_quant(F.col("embedding"))).alias("n2_self"),
+            _dot(F.col("qe"), F.col("qv")).alias("dot_q"),
+            _norm2(F.col("qe")).alias("n2_self"),
             _norm2(F.col("qv")).alias("n2_query"),
         )
     )
@@ -107,31 +192,95 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_frame(spark: SparkSession, bands: int, rows: int) -> DataFrame:
+    """(band, idx, w) hyperplane rows — broadcast-sized (B·R rows)."""
+    weights = (LSH_WEIGHTS if (bands, rows) == (LSH_BANDS, LSH_ROWS)
+               else _lcg_weights(bands * rows))
+    data = [(b, r, weights[b * rows + r]) for b in range(bands) for r in range(rows)]
+    return spark.createDataFrame(data, "band INT, idx INT, w ARRAY<BIGINT>")
+
+
+def lsh_band_keys(emb_q: DataFrame, bands: int = LSH_BANDS,
+                  rows: int = LSH_ROWS) -> DataFrame:
+    """(vec_id, band, key) for any (vec_id, qe) frame: sign bit per plane,
+    R bits packed into the band's bucket key.
+
+    Scale shape: planes broadcast-crossJoin (B·R rows per vector, produced
+    and combined MAP-SIDE — the groupBy partial-aggregates before the
+    shuffle, so only n·B (vec_id, band, key) rows move; the vector arrays
+    themselves never leave their input partition)."""
+    spark = emb_q.sparkSession
+    planes = _plane_frame(spark, bands, rows)
+    bit = F.when(_dot(F.col("qe"), F.col("w")) > 0,
+                 F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    scored = emb_q.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "band", "idx", bit.alias("bit")
+    )
+    return scored.groupBy("vec_id", "band").agg(
+        F.sum(F.expr("shiftleft(bit, idx)")).alias("key")
+    )
+
+
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: sign bit per plane → bucket id. At scale,
-    near-dup search joins within (bucket) instead of all-pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qe = _quant(F.col("embedding"))
-    bucket = None
-    for p in range(LSH_PLANES):
-        w = F.array(*[F.lit(v).cast("long") for v in LSH_WEIGHTS[p]])
-        bit = F.when(_dot(qe, w) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select("vec_id", "label", bucket.alias("bucket"))
+    """Banded random-hyperplane LSH bucket assignment: one (band, bucket)
+    row per vector per band. At scale, near-dup search joins within
+    (band, bucket) instead of all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _quant(F.col("embedding")).alias("qe")
+    )
+    bands, rows = _corpus_lsh_params(sf_dir)
+    keys = lsh_band_keys(emb.select("vec_id", "qe"), bands, rows)
+    return (
+        emb.select("vec_id", "label").join(keys, "vec_id")
+        .select("vec_id", "label", F.col("band").cast("long").alias("band"),
+                F.col("key").alias("bucket"))
+    )
 
 
-def lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path: near-dup pairs restricted to same-LSH-bucket
-    candidates (recall < 1 by construction; compare with the brute-force
-    baseline via tests/bench). Joins on bucket — shuffle is O(candidates)."""
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
+                        bands: int | None = None,
+                        rows: int | None = None) -> DataFrame:
+    """Distinct banded-LSH candidate (va, vb) pairs — the pre-scoring
+    stage, exposed separately so bench.py can log candidate counts (the
+    sublinearity evidence) without scoring.
+
+    Shuffle volume: the band self-join moves ONLY (vec_id, band, key) —
+    24 bytes/row, never the vectors; distinct collapses multi-band
+    collisions so each candidate is scored once downstream."""
+    if bands is None or rows is None:
+        bands, rows = _corpus_lsh_params(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quant(F.col("embedding")).alias("qe")
     )
-    buckets = lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
-    v = emb.join(buckets, "vec_id")
-    a = v.select(F.col("bucket").alias("ka"), F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
-    b = v.select(F.col("bucket").alias("kb"), F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
-    pairs = a.join(b, (F.col("ka") == F.col("kb")) & (F.col("va") < F.col("vb")))
+    keys = lsh_band_keys(emb, bands, rows)
+    a = keys.select(F.col("band").alias("ba"), F.col("key").alias("ka"),
+                    F.col("vec_id").alias("va"))
+    b = keys.select(F.col("band").alias("bb"), F.col("key").alias("kb"),
+                    F.col("vec_id").alias("vb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ka") == F.col("kb"))
+               & (F.col("va") < F.col("vb")))
+        .select("va", "vb")
+        .distinct()
+    )
+
+
+def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
+                      bands: int | None = None, rows: int | None = None) -> DataFrame:
+    """The scale path: near-dup pairs restricted to banded-LSH candidates
+    (recall ~LSH_TARGET_RECALL at the design threshold by construction;
+    measured against the brute-force baseline in bench.py).
+
+    Plan shape: candidate generation (see lsh_candidate_pairs) then two
+    joins fetch the quantized vectors for scoring (broadcast-sized here;
+    hash joins on vec_id at 10⁹ scale — still O(candidates))."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    cand = lsh_candidate_pairs(spark, sf_dir, bands, rows)
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
+    pairs = cand.join(ea, "va").join(eb, "vb")
     cos = _dot(F.col("ea"), F.col("eb")).cast("double") / F.sqrt(
         (_norm2(F.col("ea")) * _norm2(F.col("eb"))).cast("double")
     )
@@ -271,9 +420,35 @@ _PAIR_CTE = f"""
 """
 
 
-def _lsh_bit_sql(p: int, e: str = "e") -> str:
-    terms = " + ".join(f"{e}[{d + 1}] * ({LSH_WEIGHTS[p][d]})" for d in range(DIM))
-    return f"CASE WHEN ({terms}) > 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END"
+def _planes_values_sql(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
+    """The hyperplane table as a VALUES literal — the SAME integers the
+    Spark plan carries (generated from the shared LCG constants)."""
+    weights = (LSH_WEIGHTS if (bands, rows) == (LSH_BANDS, LSH_ROWS)
+               else _lcg_weights(bands * rows))
+    vals = ", ".join(
+        f"({b}, {r}, {weights[b * rows + r]})"
+        for b in range(bands) for r in range(rows)
+    )
+    return f"(VALUES {vals}) p(band, idx, w)"
+
+
+# (vec_id, band, key) — mirrors lsh_band_keys: sign bit per plane, R bits
+# packed per band; CAST: DuckDB sum(BIGINT)→HUGEINT hashes driver-unsafe
+def _keyed_cte_sql() -> str:
+    dot_ew = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[e.e[i] * p.w[i] FOR i IN range(1, {DIM} + 1)]), (x, y) -> x + y)"
+    )
+    return f"""
+        keyed AS (
+            SELECT e.vec_id, p.band,
+                   CAST(sum(CASE WHEN {dot_ew} > 0
+                            THEN (CAST(1 AS BIGINT) << p.idx) ELSE 0 END)
+                        AS BIGINT) AS key
+            FROM ev e, {_planes_values_sql()}
+            GROUP BY e.vec_id, p.band
+        )
+    """
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -311,24 +486,27 @@ _IVF_ASSIGN_CTE = f"""
 
 
 # shared bucketed-near-dup pair CTEs (lsh_neardup_pairs AND the clusters
-# oracle compose from this — one spelling of the LSH/threshold logic)
+# oracle compose from this — one spelling of the banded LSH/threshold
+# logic, mirroring the Spark plan: band keys → distinct candidates →
+# score each pair once)
 _LSH_PAIR_CTE = f"""
         ev AS (
             SELECT vec_id,
                    list_transform(embedding,
                                   x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
             FROM embeddings
-        ), b AS (
-            SELECT vec_id, e,
-                   {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
-            FROM ev
+        ), {_keyed_cte_sql()}, cand AS (
+            SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+            FROM keyed a JOIN keyed b
+              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
         ), pairs AS (
-            SELECT a.vec_id AS va, bb.vec_id AS vb,
-                   {_dot_sql("a.e", "bb.e")} AS dot_ab,
-                   {_dot_sql("a.e", "a.e")} AS n2_a,
-                   {_dot_sql("bb.e", "bb.e")} AS n2_b
-            FROM b a JOIN b bb
-              ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+            SELECT c.va, c.vb,
+                   {_dot_sql("ea.e", "eb.e")} AS dot_ab,
+                   {_dot_sql("ea.e", "ea.e")} AS n2_a,
+                   {_dot_sql("eb.e", "eb.e")} AS n2_b
+            FROM cand c
+            JOIN ev ea ON ea.vec_id = c.va
+            JOIN ev eb ON eb.vec_id = c.vb
         ), neardup AS (
             SELECT va, vb,
                    CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) AS cos_sim
@@ -362,10 +540,10 @@ ORACLES = {
                    list_transform(embedding,
                                   x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
             FROM embeddings
-        )
-        SELECT vec_id, label,
-               {" + ".join(_lsh_bit_sql(p) for p in range(LSH_PLANES))} AS bucket
-        FROM ev
+        ), {_keyed_cte_sql()}
+        SELECT ev.vec_id, ev.label, CAST(k.band AS BIGINT) AS band,
+               k.key AS bucket
+        FROM ev JOIN keyed k ON k.vec_id = ev.vec_id
     """,
     # the bucketed scale path is itself deterministic (same hyperplanes both
     # sides), so the recall-bounded candidate set is exactly reproducible
