@@ -103,6 +103,38 @@ def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _resumable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22 write path, driver-graded: run the batched resumable-commit
+    sink (per-partition lineage + dynamic partition overwrite) into a temp
+    dir, then return what the snapshot-visibility reader sees. Oracle =
+    the extract_pipeline_text reconstruction — full equality proves the
+    committed dataset is COMPLETE and byte-identical (no split lost, none
+    duplicated). split_id itself is pmod(xxhash64(url)) — not DuckDB-
+    reproducible, so it is excluded from the compare; the crash/resume leg
+    (SIGKILL mid-run) stays pinned by tests/test_lineage_resume.py."""
+    import os
+    import tempfile
+
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.plans.lineage import (
+        read_committed, run_resumable_extraction,
+    )
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_commit_{tag}_{os.getpid()}")
+    pages = webify_documents(load_table(spark, sf_dir, "documents"))
+    # idempotent per process+sf: a second construction resumes over a
+    # fully-committed dir and writes nothing
+    run_resumable_extraction(spark, pages, out_dir, run_id=f"gate-{tag}")
+    out = read_committed(spark, out_dir)
+    return out.select(
+        "url", "status", F.md5("ocr_text").alias("text_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def _model_slot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the pluggable batch-inference slot (O20/O21/O19) over the
     flagship pipeline output with the deterministic fake model."""
@@ -125,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_pipeline_fields"] = _extract_pipeline_fields
     q["pdf_extract_text"] = _pdf_extract_text
     q["model_slot_extract"] = _model_slot_extract
+    q["resumable_write_roundtrip"] = _resumable_write_roundtrip
     try:
         from ocr_award_extractor_spark.operators import (
             dedup, multimodal, similarity, textstats,
@@ -141,51 +174,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from ocr_award_extractor_spark.operators import relational
+    from ocr_award_extractor_spark.operators.webify import injection_oracle_sql
 
     o: dict[str, str] = {}
     o.update(relational.ORACLES)
-    # full-pipeline text byte-identity: regex-chunk text into 12-word lines
-    # (trailing 1-char runt merges into the previous line), construct the
-    # same url, compare md5 of the newline-joined result.
+    # full-pipeline text byte-identity: apply the SAME deterministic CJK
+    # award-prefix injection as webify (fragments regenerated from the
+    # shared constants), regex-chunk into 12-word lines (trailing 1-char
+    # runt merges into the previous line), construct the same url, compare
+    # md5 of the newline-joined result.
     # PRECONDITION (holds for the driver generator, pinned by
     # tests/test_pipeline_spark.py::test_driver_corpus_text_invariants):
     # text is single-space separated, stripped, with ≥2 total chars —
     # the regex reconstruction and webify.text_to_lines diverge outside it.
-    o["extract_pipeline_text"] = r"""
+    inj = injection_oracle_sql()
+    txt = f"({inj['text_with_prefix']})"
+    chunked_md5 = (
+        r"md5(regexp_replace(regexp_replace(" + txt +
+        r", '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'), "
+        r"chr(10) || '(.)$', ' \1'))"
+    )
+    n_lines = (
+        f"CAST(ceil(len(string_split({txt}, ' ')) / 12.0) AS BIGINT)"
+        f" - CAST(len(string_split({txt}, ' ')) % 12 = 1"
+        f"        AND len(string_split({txt}, ' ')[-1]) < 2 AS BIGINT)"
+    )
+    o["extract_pipeline_text"] = f"""
         SELECT 'https://' || source || '.example/' || lang || '/doc'
                  || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
                'success' AS status,
-               md5(regexp_replace(
-                     regexp_replace(text, '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'),
-                     chr(10) || '(.)$', ' \1')) AS text_md5,
-               CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT)
-                 - CAST(len(string_split(text, ' ')) % 12 = 1
-                        AND len(string_split(text, ' ')[-1]) < 2 AS BIGINT) AS n_lines
+               {chunked_md5} AS text_md5,
+               {n_lines} AS n_lines
         FROM documents
     """
     # tiered (jumbo-routed) spelling must produce the identical result set
     o["extract_pipeline_tiered"] = o["extract_pipeline_text"]
+    # committed-write read-back must ALSO equal it exactly (complete, no
+    # duplicates, byte-identical text) — that is the commit contract
+    o["resumable_write_roundtrip"] = o["extract_pipeline_text"]
     # PDF leg: same reconstruction, '.pdf' url + 'pdf' strategy
-    o["pdf_extract_text"] = r"""
+    o["pdf_extract_text"] = f"""
         SELECT 'https://' || source || '.example/' || lang || '/doc'
                  || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.pdf' AS url,
                'success' AS status, 'pdf' AS strategy,
-               md5(regexp_replace(
-                     regexp_replace(text, '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'),
-                     chr(10) || '(.)$', ' \1')) AS text_md5,
-               CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT)
-                 - CAST(len(string_split(text, ' ')) % 12 = 1
-                        AND len(string_split(text, ' ')[-1]) < 2 AS BIGINT) AS n_lines
+               {chunked_md5} AS text_md5,
+               {n_lines} AS n_lines
         FROM documents
     """
-    # no-false-positive guard: driver corpus has no CJK award content, so
-    # every extractor field must come back empty on every success row
-    o["extract_pipeline_fields"] = """
+    # field extraction, POSITIVE path: injected docs must yield exactly the
+    # closed-form competition/award/project/people fields (exercising
+    # certificate_ocr.py:336-381 semantics on driver data); every other
+    # doc pins the no-false-positive property (all fields empty)
+    o["extract_pipeline_fields"] = f"""
         SELECT 'https://' || source || '.example/' || lang || '/doc'
                  || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
                'success' AS status,
-               '' AS competition_name, '' AS award_level, '' AS project_name,
-               '' AS winners, '' AS teachers
+               {inj['competition_name']} AS competition_name,
+               {inj['award_level']} AS award_level,
+               {inj['project_name']} AS project_name,
+               {inj['winners']} AS winners,
+               {inj['teachers']} AS teachers
         FROM documents
     """
     try:

@@ -49,7 +49,8 @@ def bench_pages_path() -> str:
     from ocr_award_extractor_spark.sources.tables import FIXTURE_DIR
 
     tag = os.path.basename(SF_DIR.rstrip("/"))
-    return os.path.join(FIXTURE_DIR, f"bench_pages_{tag}_r{REPLICATION}.parquet")
+    # v2: corpus regenerated after webify gained the CJK award injection
+    return os.path.join(FIXTURE_DIR, f"bench_pages_{tag}_r{REPLICATION}_v2.parquet")
 
 
 def ensure_bench_pages(spark) -> str:
@@ -265,7 +266,7 @@ BENCH_QUERIES = [
     "doc_fingerprint", "cosine_to_query", "ann_topk_cosine",
     "lsh_buckets", "lsh_neardup_pairs", "ivf_assign", "ivf_topk_cosine",
     "multimodal_features", "multimodal_thumbnails", "sessionize_events",
-    "salted_skew_join_revenue",
+    "salted_skew_join_revenue", "resumable_write_roundtrip",
 ]
 # embedding_neardup_pairs (the O(n²) brute-force baseline) is oracle-checked
 # at sf0.01 but NOT benched at sf0.1 — 2M pair folds ≈ 80 s is exactly the

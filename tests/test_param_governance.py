@@ -72,6 +72,48 @@ def test_lsh_params_growth_keeps_buckets_constant():
         assert recall >= LSH_TARGET_RECALL - 1e-9
 
 
+def test_injection_sql_matches_python_kernel():
+    """The CJK award injection exists in two spellings: the Python prefix
+    webify actually prepends, and the DuckDB fragments the oracles expect.
+    Evaluate BOTH over a doc_id range and require (a) identical injected
+    text and (b) SQL expected fields == what the real extraction kernel
+    returns on the injected lines."""
+    import duckdb
+
+    from ocr_award_extractor_spark.functions.extract import extract_fields
+    from ocr_award_extractor_spark.operators.webify import (
+        injected_text, injection_oracle_sql, text_to_lines,
+    )
+
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore")
+    inj = injection_oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        f"SELECT unnest(range(0, 240)) AS doc_id, '{base}' AS text"
+    )
+    rows = con.sql(f"""
+        SELECT doc_id, {inj['text_with_prefix']} AS t,
+               {inj['competition_name']} AS c, {inj['award_level']} AS a,
+               {inj['project_name']} AS p, {inj['winners']} AS w,
+               {inj['teachers']} AS te
+        FROM documents ORDER BY doc_id
+    """).fetchall()
+    n_injected = 0
+    for doc_id, t, c, a, p, w, te in rows:
+        assert t == injected_text(doc_id, base)
+        f = extract_fields(text_to_lines(t))
+        assert c == f["competition_name"]
+        assert a == f["award_level"]
+        assert p == f["project_name"]
+        assert w == "|".join(f["winner"])
+        assert te == "|".join(f["teacher"])
+        if c:
+            n_injected += 1
+    assert n_injected == 24   # 10% of 240
+
+
 def test_lcg_weights_are_stable_and_uncorrelated():
     """The weight stream is pinned (any change invalidates every persisted
     bucket assignment) and plane-pair sign agreement on random-ish inputs
