@@ -263,7 +263,8 @@ BENCH_QUERIES = [
     "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "dedup_clusters",
     "simhash",
     "jaccard_adjacent_pairs", "token_count", "quality_score", "lang_guess",
-    "doc_fingerprint", "cosine_to_query", "ann_topk_cosine",
+    "doc_fingerprint", "pii_redact", "bigram_topk",
+    "cosine_to_query", "ann_topk_cosine",
     "lsh_buckets", "lsh_neardup_pairs", "ivf_assign", "ivf_topk_cosine",
     "multimodal_features", "multimodal_thumbnails", "sessionize_events",
     "salted_skew_join_revenue", "resumable_write_roundtrip",

@@ -192,33 +192,42 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_frame(spark: SparkSession, bands: int, rows: int) -> DataFrame:
-    """(band, idx, w) hyperplane rows — broadcast-sized (B·R rows)."""
-    weights = (LSH_WEIGHTS if (bands, rows) == (LSH_BANDS, LSH_ROWS)
-               else _lcg_weights(bands * rows))
-    data = [(b, r, weights[b * rows + r]) for b in range(bands) for r in range(rows)]
-    return spark.createDataFrame(data, "band INT, idx INT, w ARRAY<BIGINT>")
-
-
 def lsh_band_keys(emb_q: DataFrame, bands: int = LSH_BANDS,
                   rows: int = LSH_ROWS) -> DataFrame:
     """(vec_id, band, key) for any (vec_id, qe) frame: sign bit per plane,
     R bits packed into the band's bucket key.
 
-    Scale shape: planes broadcast-crossJoin (B·R rows per vector, produced
-    and combined MAP-SIDE — the groupBy partial-aggregates before the
-    shuffle, so only n·B (vec_id, band, key) rows move; the vector arrays
-    themselves never leave their input partition)."""
-    spark = emb_q.sparkSession
-    planes = _plane_frame(spark, bands, rows)
-    bit = F.when(_dot(F.col("qe"), F.col("w")) > 0,
-                 F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-    scored = emb_q.crossJoin(F.broadcast(planes)).select(
-        "vec_id", "band", "idx", bit.alias("bit")
-    )
-    return scored.groupBy("vec_id", "band").agg(
-        F.sum(F.expr("shiftleft(bit, idx)")).alias("key")
-    )
+    Arrow-batched numpy kernel: the whole batch's sign bits are ONE exact
+    int64 matmul (E @ Wᵀ > 0; |e|≤10⁴·|w|≤10³·64 dims keeps every product
+    far inside int64) — per-vector cost B·R·DIM multiply-adds vectorized
+    in C instead of B·R interpreted higher-order-function dots per row
+    (measured ~3.1 s → ~0.2 s for 2000×273 planes). Scale shape: pure
+    map-side — each input partition emits its own n·B (vec_id, band, key)
+    rows, NO shuffle until the band self-join; the vector arrays never
+    leave their partition. Sign-of-integer-dot is engine-independent, so
+    the DuckDB oracle reproduces the keys bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    weights = (LSH_WEIGHTS if (bands, rows) == (LSH_BANDS, LSH_ROWS)
+               else _lcg_weights(bands * rows))
+    W = np.array(weights, dtype=np.int64)          # (B·R, DIM)
+    pack = (np.int64(1) << np.arange(rows, dtype=np.int64))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["qe"].to_numpy())      # (m, DIM) int64
+            bits = (E.astype(np.int64) @ W.T > 0).astype(np.int64)
+            keys = bits.reshape(len(E), bands, rows) @ pack   # (m, B)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(E)),
+                "key": keys.ravel(),
+            })
+
+    return emb_q.mapInPandas(kernel, "vec_id BIGINT, band INT, key BIGINT")
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -124,6 +124,63 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+# PII patterns — identical semantics under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, \b supported by both
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4 literals with typed
+    placeholder tokens, counting hits. The driver corpus contains no PII,
+    so deterministic positives are planted per doc (doc_id-derived email +
+    ip appended) — the oracle reconstructs the same augmented text, making
+    this a REAL cross-engine regex-replace check, not a no-op.
+
+    Scale shape: pure projection (two regexp_replace + two counts), zero
+    shuffle, whole-stage codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@mail.example or 10.0."), F.col("doc_id") % 256, F.lit(".7"),
+    )
+    docs = docs.select("doc_id", aug.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(IPV4_RE), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+BIGRAM_TOP_K = 20
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary analysis: top-K adjacent token bigrams with
+    a total order (count desc, bigram asc). explode → count (map-side
+    partial agg) → TakeOrderedAndProject: the shuffle carries one row per
+    distinct bigram, the top-K needs no full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return (
+        docs.where(F.size(t) >= 2)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(BIGRAM_TOP_K)
+    )
+
+
 def _stop_sql(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -174,6 +231,32 @@ ORACLES = {
                hits_en, hits_fr, hits_de, hits_es
         FROM h
     """,
+    "pii_redact": f"""
+        WITH a AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example or 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips,
+               md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{IPV4_RE}', '<IP>', 'g')) AS redacted_md5
+        FROM a
+    """,
+    "bigram_topk": f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ), grams AS (
+            SELECT t[i] || ' ' || t[i+1] AS bigram
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        )
+        SELECT bigram, count(*) AS n FROM grams
+        GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_TOP_K}
+    """,
     "doc_fingerprint": rf"""
         SELECT doc_id,
                list_reduce(
@@ -190,4 +273,6 @@ QUERIES = {
     "quality_score": quality_score,
     "lang_guess": lang_guess,
     "doc_fingerprint": doc_fingerprint,
+    "pii_redact": pii_redact,
+    "bigram_topk": bigram_topk,
 }
