@@ -443,7 +443,7 @@ def _planes_values_sql(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
 
 # (vec_id, band, key) — mirrors lsh_band_keys: sign bit per plane, R bits
 # packed per band; CAST: DuckDB sum(BIGINT)→HUGEINT hashes driver-unsafe
-def _keyed_cte_sql() -> str:
+def _keyed_cte_sql(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
     dot_ew = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"[e.e[i] * p.w[i] FOR i IN range(1, {DIM} + 1)]), (x, y) -> x + y)"
@@ -454,7 +454,7 @@ def _keyed_cte_sql() -> str:
                    CAST(sum(CASE WHEN {dot_ew} > 0
                             THEN (CAST(1 AS BIGINT) << p.idx) ELSE 0 END)
                         AS BIGINT) AS key
-            FROM ev e, {_planes_values_sql()}
+            FROM ev e, {_planes_values_sql(bands, rows)}
             GROUP BY e.vec_id, p.band
         )
     """
@@ -498,13 +498,14 @@ _IVF_ASSIGN_CTE = f"""
 # oracle compose from this — one spelling of the banded LSH/threshold
 # logic, mirroring the Spark plan: band keys → distinct candidates →
 # score each pair once)
-_LSH_PAIR_CTE = f"""
+def _lsh_pair_cte(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
+    return f"""
         ev AS (
             SELECT vec_id,
                    list_transform(embedding,
                                   x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
             FROM embeddings
-        ), {_keyed_cte_sql()}, cand AS (
+        ), {_keyed_cte_sql(bands, rows)}, cand AS (
             SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
             FROM keyed a JOIN keyed b
               ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
@@ -525,6 +526,53 @@ _LSH_PAIR_CTE = f"""
         )
 """
 
+
+_LSH_PAIR_CTE = _lsh_pair_cte()
+
+
+def lsh_oracles(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> dict[str, str]:
+    """The three banded-LSH oracles for an explicit (bands, rows). The
+    static ORACLES embed the gate-scale constants (== lsh_params(500),
+    governance-pinned); check_oracles regenerates these per sf_dir via
+    oracles_for_scale so scale-invariance stays verifiable at ANY sf even
+    though the Spark side derives its parameters from the corpus size."""
+    return {
+        "lsh_buckets": f"""
+            WITH ev AS (
+                SELECT vec_id, label,
+                       list_transform(embedding,
+                                      x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
+                FROM embeddings
+            ), {_keyed_cte_sql(bands, rows)}
+            SELECT ev.vec_id, ev.label, CAST(k.band AS BIGINT) AS band,
+                   k.key AS bucket
+            FROM ev JOIN keyed k ON k.vec_id = ev.vec_id
+        """,
+        "lsh_neardup_pairs": f"""
+            WITH {_lsh_pair_cte(bands, rows)}
+            SELECT va, vb, cos_sim FROM neardup
+        """,
+        "embedding_neardup_clusters": f"""
+            WITH RECURSIVE {_lsh_pair_cte(bands, rows)}
+            , edges AS (
+                SELECT va AS src, vb AS dst FROM neardup
+                UNION ALL
+                SELECT vb AS src, va AS dst FROM neardup
+            ), reach(vec_id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.vec_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT vec_id, min(r) AS comp FROM reach GROUP BY vec_id
+        """,
+    }
+
+
+def oracles_for_scale(sf_dir: str) -> dict[str, str]:
+    """LSH oracles regenerated for the corpus at sf_dir (same derivation
+    the Spark side uses)."""
+    return lsh_oracles(*_corpus_lsh_params(sf_dir))
+
 ORACLES = {
     "cosine_to_query": _Q_CTE + """
         SELECT vec_id, label, dot_q,
@@ -543,36 +591,10 @@ ORACLES = {
         FROM pairs
         WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) >= {NEARDUP_THRESHOLD}
     """,
-    "lsh_buckets": f"""
-        WITH ev AS (
-            SELECT vec_id, label,
-                   list_transform(embedding,
-                                  x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS e
-            FROM embeddings
-        ), {_keyed_cte_sql()}
-        SELECT ev.vec_id, ev.label, CAST(k.band AS BIGINT) AS band,
-               k.key AS bucket
-        FROM ev JOIN keyed k ON k.vec_id = ev.vec_id
-    """,
-    # the bucketed scale path is itself deterministic (same hyperplanes both
-    # sides), so the recall-bounded candidate set is exactly reproducible
-    "lsh_neardup_pairs": f"""
-        WITH {_LSH_PAIR_CTE}
-        SELECT va, vb, cos_sim FROM neardup
-    """,
-    "embedding_neardup_clusters": f"""
-        WITH RECURSIVE {_LSH_PAIR_CTE}
-        , edges AS (
-            SELECT va AS src, vb AS dst FROM neardup
-            UNION ALL
-            SELECT vb AS src, va AS dst FROM neardup
-        ), reach(vec_id, r) AS (
-            SELECT vec_id, vec_id FROM embeddings
-            UNION
-            SELECT reach.vec_id, e.dst FROM reach JOIN edges e ON e.src = reach.r
-        )
-        SELECT vec_id, min(r) AS comp FROM reach GROUP BY vec_id
-    """,
+    # the bucketed scale path is itself deterministic (same hyperplanes
+    # both sides), so the recall-bounded candidate set is exactly
+    # reproducible — gate-scale constants here, per-sf via oracles_for_scale
+    **lsh_oracles(),
     "ivf_assign": _IVF_ASSIGN_CTE + """
         SELECT vec_id, label, CAST(cid AS BIGINT) AS centroid FROM a1
     """,

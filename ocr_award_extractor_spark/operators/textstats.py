@@ -181,6 +181,87 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style quality gates (Rae et al. 2021 §A1.1 shapes, thresholds
+# adapted to the synthetic corpus) — shared constants with the oracle SQL
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 12.0
+GOPHER_MAX_PUNCT_RATIO = 0.6
+GOPHER_MIN_STOP_HITS = 1
+GOPHER_MAX_DUP_FRAC = 0.6
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document gating: word-count bounds, mean-word-length
+    band, punctuation ratio, minimum stopword evidence, duplicate-token
+    fraction — each as an explicit flag plus the conjunction (`keep`).
+    One projection, zero shuffle, all JVM-side; ratios divide exact ints
+    so flags are bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select(
+        "doc_id",
+        F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
+        .cast("long").alias("n_punct"),
+    )
+    n = F.size(F.col("toks")).cast("long")
+    sum_len = F.aggregate(F.col("toks"), F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t))
+    mean_len = sum_len.cast("double") / n.cast("double")
+    stop_hits = F.size(F.filter(
+        F.col("toks"), lambda t: t.isin(*STOPWORDS["en"]))).cast("long")
+    n_distinct = F.size(F.array_distinct(F.col("toks"))).cast("long")
+    dup_frac = (n - n_distinct).cast("double") / n.cast("double")
+    flags = {
+        "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "ok_mean_len": (mean_len >= GOPHER_MIN_MEAN_LEN)
+                       & (mean_len <= GOPHER_MAX_MEAN_LEN),
+        "ok_punct": (F.col("n_punct").cast("double") / n.cast("double"))
+                    <= GOPHER_MAX_PUNCT_RATIO,
+        "ok_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
+        "ok_dup": dup_frac <= GOPHER_MAX_DUP_FRAC,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return docs.select(
+        "doc_id", n.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+C4_MIN_SENT_WORDS = 3
+C4_SENT_EVERY = 7   # the corpus is punctuation-free: sentencize every 7 tokens
+
+
+def c4_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence gating (Raffel et al. 2020 §2.2 shape): split
+    into sentences, drop those under C4_MIN_SENT_WORDS words, report kept
+    count and an md5 over the surviving text. The corpus has no
+    punctuation, so sentences are derived deterministically first ('. '
+    inserted every C4_SENT_EVERY tokens — same regex trick as the line
+    chunker), which makes the gate REAL: docs whose token count mod 7 is
+    1 or 2 lose their runt sentence. Pure projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent_re = r"((?:\S+ ){%d}\S+) " % (C4_SENT_EVERY - 1)
+    sent_text = F.regexp_replace(F.col("text"), sent_re, r"$1. ")
+    sents = F.split(sent_text, r"\. ")
+    kept = F.filter(
+        sents,
+        lambda s: F.size(F.filter(F.split(s, " "),
+                                  lambda w: F.length(w) > 0))
+        >= C4_MIN_SENT_WORDS,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.concat_ws(". ", kept)).alias("kept_md5"),
+    )
+
+
 def _stop_sql(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -231,6 +312,52 @@ ORACLES = {
                hits_en, hits_fr, hits_de, hits_es
         FROM h
     """,
+    "gopher_quality_flags": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks,
+                   len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct
+            FROM documents
+        ), m AS (
+            SELECT doc_id, len(toks) AS n, n_punct,
+                   list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+                               (a, b) -> a + b) AS sum_len,
+                   len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS stop_hits,
+                   len(list_distinct(toks)) AS n_distinct
+            FROM t
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+               n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS} AS ok_word_count,
+               CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) >= {GOPHER_MIN_MEAN_LEN}
+                 AND CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_MEAN_LEN} AS ok_mean_len,
+               CAST(n_punct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_PUNCT_RATIO} AS ok_punct,
+               stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+               CAST(n - n_distinct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_DUP_FRAC} AS ok_dup,
+               (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
+                 AND (CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) >= {GOPHER_MIN_MEAN_LEN}
+                      AND CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_MEAN_LEN})
+                 AND (CAST(n_punct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_PUNCT_RATIO})
+                 AND (stop_hits >= {GOPHER_MIN_STOP_HITS})
+                 AND (CAST(n - n_distinct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_DUP_FRAC}) AS keep
+        FROM m
+    """,
+    "c4_sentence_filter": rf"""
+        WITH st AS (
+            SELECT doc_id,
+                   regexp_replace(text,
+                       '((?:\S+ ){{{C4_SENT_EVERY - 1}}}\S+) ', '\1. ', 'g') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(string_split(t, '. ')) AS n_sentences,
+               len(list_filter(string_split(t, '. '),
+                   s -> len(list_filter(string_split(s, ' '), w -> len(w) > 0))
+                        >= {C4_MIN_SENT_WORDS})) AS n_kept,
+               md5(array_to_string(list_filter(string_split(t, '. '),
+                   s -> len(list_filter(string_split(s, ' '), w -> len(w) > 0))
+                        >= {C4_MIN_SENT_WORDS}), '. ')) AS kept_md5
+        FROM st
+    """,
     "pii_redact": f"""
         WITH a AS (
             SELECT doc_id,
@@ -275,4 +402,6 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "pii_redact": pii_redact,
     "bigram_topk": bigram_topk,
+    "gopher_quality_flags": gopher_quality_flags,
+    "c4_sentence_filter": c4_sentence_filter,
 }
