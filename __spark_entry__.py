@@ -135,6 +135,73 @@ def _resumable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_tmp(sf_dir: str, leg: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_stream_{leg}_{tag}_{os.getpid()}")
+
+
+def _streaming_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming leg, driver-graded: the webified corpus lands
+    in a file-source directory, stream_extract catches up with
+    trigger(availableNow) through the SAME stateless extraction stage,
+    and the sink parquet is read back. Deterministic ⇒ shares the
+    extract_pipeline_text oracle (streaming must lose/duplicate/alter
+    nothing vs the batch plan). Checkpointed: a re-construction in the
+    same process replays nothing."""
+    import os
+
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.sources.tables import load_table
+    from ocr_award_extractor_spark.streaming.extract_stream import stream_extract
+
+    base = _stream_tmp(sf_dir, "extract")
+    src, ck, out = (os.path.join(base, d) for d in ("in", "ck", "out"))
+    if not os.path.exists(src):
+        webify_documents(load_table(spark, sf_dir, "documents")) \
+            .write.mode("overwrite").parquet(src)
+    q = stream_extract(spark, src, ck, out)
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "url", "status", F.md5("ocr_text").alias("text_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation, driver-graded:
+    bounded availableNow run in complete mode equals the batch GROUP BY
+    date_trunc('hour') exactly (decimal sums make the values independent
+    of state-merge order)."""
+    import os
+    import shutil
+
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        windowed_event_counts,
+    )
+
+    base = _stream_tmp(sf_dir, "events")
+    src = os.path.join(base, "in")
+    if not os.path.exists(src):
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, "events.parquet"))
+    name = f"windowed_counts_{abs(hash(base)) % (10 ** 8)}"
+    q = (
+        windowed_event_counts(spark, src)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
 def _model_slot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: the pluggable batch-inference slot (O20/O21/O19) over the
     flagship pipeline output with the deterministic fake model."""
@@ -158,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pdf_extract_text"] = _pdf_extract_text
     q["model_slot_extract"] = _model_slot_extract
     q["resumable_write_roundtrip"] = _resumable_write_roundtrip
+    q["streaming_extract_roundtrip"] = _streaming_extract_roundtrip
+    q["streaming_windowed_counts"] = _streaming_windowed_counts
     try:
         from ocr_award_extractor_spark.operators import (
             dedup, multimodal, similarity, textstats,
@@ -212,6 +281,18 @@ def oracle_sql() -> dict[str, str]:
     # committed-write read-back must ALSO equal it exactly (complete, no
     # duplicates, byte-identical text) — that is the commit contract
     o["resumable_write_roundtrip"] = o["extract_pipeline_text"]
+    # ...and so must the streaming catch-up pass (stateless stage ⇒ the
+    # stream may reorder but never lose, duplicate, or alter rows)
+    o["streaming_extract_roundtrip"] = o["extract_pipeline_text"]
+    # bounded streaming window agg == batch GROUP BY date_trunc('hour');
+    # decimal sums on both sides (state-merge order vs scan order)
+    o["streaming_windowed_counts"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS sum_value
+        FROM events GROUP BY 1, 2
+    """
     # PDF leg: same reconstruction, '.pdf' url + 'pdf' strategy
     o["pdf_extract_text"] = f"""
         SELECT 'https://' || source || '.example/' || lang || '/doc'

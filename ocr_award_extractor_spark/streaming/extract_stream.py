@@ -78,7 +78,11 @@ def windowed_event_counts(
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             # DECIMAL sum: streaming state merges in arrival order, which
+             # differs from any batch engine's order — exact arithmetic
+             # keeps the rounded result order-independent (oracle-safe)
+             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )

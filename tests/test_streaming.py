@@ -45,7 +45,9 @@ def test_windowed_counts_match_batch(spark, tmp_path):
         spark.read.parquet(str(src / "events.parquet"))
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"))
+             # decimal sum — mirrors windowed_event_counts (order-free)
+             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )
