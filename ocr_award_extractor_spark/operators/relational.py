@@ -338,6 +338,72 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- as-of / range joins
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN — an operator Spark lacks natively: each 'purchase'
+    event matched to the same user's latest 'click' at or before it.
+
+    Spark spelling: union both sides with a side tag, ONE window per
+    user ordered by (ts, side) carrying last(click_*, ignorenulls) —
+    a single shuffle on user_id and a single sort, O(n) state, no
+    range-join candidate blowup (the naive inequality-join + argmax
+    spelling shuffles O(pairs)). This is the standard scale spelling;
+    ties at equal ts resolve click-before-purchase, matching the
+    oracle's inclusive `c.ts <= p.ts`. (user_id, ts) is unique in the
+    corpus so the match is total-order deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("event_id").alias("c_eid"), F.col("ts").alias("c_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("long").alias("c_eid"),
+        F.lit(None).cast("timestamp_ntz").alias("c_ts"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    both = clicks.unionByName(buys).select(
+        "user_id", "ts", "side", "event_id",
+        F.last("c_eid", ignorenulls=True).over(w).alias("click_event_id"),
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return both.where(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "click_event_id", "click_ts"
+    )
+
+
+RANGE_JOIN_WINDOW_S = 1800
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: per 'view' event, count/sum the same user's 'click'
+    events inside (view.ts, view.ts + 30 min]. The equi-key (user_id)
+    bounds candidates, so Spark plans a hash join with the interval as a
+    post-join predicate — O(per-user pairs), not a cartesian. For a pure
+    time-range join with NO equi key, bucket ts into window-sized bins
+    and join on bin±1 (the standard interval-bucketing spelling)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    joined = v.join(
+        c, (v["user_id"] == c["c_uid"])
+        & (c["c_ts"] > v["ts"])
+        & (c["c_ts"] <= v["ts"] + F.expr(f"INTERVAL {RANGE_JOIN_WINDOW_S} SECOND")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("c_ts").alias("n_clicks"),
+        F.round(F.sum(F.coalesce(F.col("c_value"), F.lit(0))
+                      .cast("decimal(18,4)")), 2).cast("double").alias("click_value"),
+    )
+
+
 ORACLES = {
     "price_quantiles_by_status": """
         SELECT o_orderstatus, count(*) AS n_orders,
@@ -379,6 +445,31 @@ ORACLES = {
     """,
     "count_by_lang": """
         SELECT lang, count(*) AS docs FROM documents GROUP BY lang
+    """,
+    # DuckDB has a native ASOF JOIN — the ideal oracle for ours
+    "asof_purchase_to_click": """
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT event_id AS click_event_id, user_id AS c_uid, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts, c.click_event_id, c.click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.c_uid AND c.click_ts <= p.ts
+    """,
+    "range_join_events": f"""
+        SELECT v.event_id, v.user_id, v.ts,
+               count(c.c_ts) AS n_clicks,
+               CAST(round(sum(CAST(coalesce(c.c_value, 0) AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS click_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view') v
+        LEFT JOIN (SELECT user_id AS c_uid, ts AS c_ts, value AS c_value
+                   FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.c_uid AND c.c_ts > v.ts
+             AND c.c_ts <= v.ts + INTERVAL {RANGE_JOIN_WINDOW_S} SECOND
+        GROUP BY 1, 2, 3
     """,
     "filter_keyword_docs": """
         SELECT doc_id, lang, n_chars FROM documents
@@ -517,4 +608,6 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "salted_skew_join_revenue": salted_skew_join_revenue,
     "price_quantiles_by_status": price_quantiles_by_status,
+    "asof_purchase_to_click": asof_purchase_to_click,
+    "range_join_events": range_join_events,
 }

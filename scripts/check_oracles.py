@@ -74,7 +74,20 @@ def main():
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    # invariance knobs: SPARK_GRAFT_CHECK_MASTER / _SHUFFLE re-run the gate
+    # at any parallelism; SPARK_GRAFT_CHECK_BARE=1 uses a BARE session (no
+    # UTC pin / AQE / Arrow tuning) to prove results don't depend on our
+    # own session config (the driver's harness session is unknown)
+    master = os.environ.get("SPARK_GRAFT_CHECK_MASTER", "local[8]")
+    shuffle = int(os.environ.get("SPARK_GRAFT_CHECK_SHUFFLE", "8"))
+    if os.environ.get("SPARK_GRAFT_CHECK_BARE"):
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master(master)
+                 .appName("oracle-check-bare").getOrCreate())
+    else:
+        spark = get_spark("oracle-check", master=master,
+                          shuffle_partitions=shuffle)
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     # the LSH queries derive (bands, rows) from the corpus size; the static
     # oracle SQL pins the driver's sf0.01 gate scale — regenerate those

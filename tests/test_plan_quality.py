@@ -172,3 +172,24 @@ def test_bucketed_join_is_exchange_free(spark):
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_asof_join_single_exchange(spark):
+    """The as-of join's union+window spelling must plan as ONE user_id
+    shuffle + ONE sort — never a range-join candidate blowup or a second
+    exchange for the side filter."""
+    import re
+
+    from ocr_award_extractor_spark.operators.relational import (
+        asof_purchase_to_click,
+    )
+
+    plan = _plan(asof_purchase_to_click(spark, "/root/testdata/sf0.001"))
+    tree = plan.split("===")[0] if "===" in plan else plan
+    tree = tree.split("\n\n")[0]   # node tree only, not the detail section
+    n_exchanges = sum(1 for ln in tree.splitlines()
+                      if re.search(r"\bExchange \(\d+\)$", ln.strip()))
+    n_sorts = sum(1 for ln in tree.splitlines()
+                  if re.search(r"\bSort \(\d+\)$", ln.strip()))
+    assert n_exchanges == 1, plan
+    assert n_sorts == 1, plan
