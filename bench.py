@@ -264,7 +264,7 @@ BENCH_QUERIES = [
     "simhash",
     "jaccard_adjacent_pairs", "token_count", "quality_score", "lang_guess",
     "doc_fingerprint", "pii_redact", "bigram_topk",
-    "gopher_quality_flags", "c4_sentence_filter",
+    "gopher_quality_flags", "c4_sentence_filter", "stratified_sample",
     "cosine_to_query", "ann_topk_cosine",
     "lsh_buckets", "lsh_neardup_pairs", "ivf_assign", "ivf_topk_cosine",
     "multimodal_features", "multimodal_thumbnails", "sessionize_events",

@@ -124,6 +124,30 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+# per-language sampling rates (percent kept) — hash-gated, reproducible
+SAMPLE_RATES = {"en": 50, "zh": 30, "de": 20, "fr": 20, "es": 10}
+SAMPLE_DEFAULT_RATE = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    md5(doc_id)-derived uniform bucket < the language's rate. Unlike
+    DataFrame.sample() this is REPRODUCIBLE across runs, partitionings,
+    and engines (the gate is a pure function of the row), which is what a
+    100 TB pipeline needs for auditable subsets; it is also a pure scan
+    filter — no shuffle, prunes at the source."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                    16, 10).cast("long") % 100
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.where(bucket < rate)
+        .select("doc_id", "lang", bucket.cast("long").alias("bucket"))
+    )
+
+
 # PII patterns — identical semantics under Java regex (Spark) and RE2
 # (DuckDB): no backrefs, no lookaround, \b supported by both
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -312,6 +336,17 @@ ORACLES = {
                hits_en, hits_fr, hits_de, hits_es
         FROM h
     """,
+    "stratified_sample": f"""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 AS bucket,
+                   CASE {' '.join(f"WHEN lang = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items())}
+                        ELSE {SAMPLE_DEFAULT_RATE} END AS rate
+            FROM documents
+        )
+        SELECT doc_id, lang, bucket FROM b WHERE bucket < rate
+    """,
     "gopher_quality_flags": f"""
         WITH t AS (
             SELECT doc_id,
@@ -404,4 +439,5 @@ QUERIES = {
     "bigram_topk": bigram_topk,
     "gopher_quality_flags": gopher_quality_flags,
     "c4_sentence_filter": c4_sentence_filter,
+    "stratified_sample": stratified_sample,
 }

@@ -154,3 +154,24 @@ def test_fuzz_attr_shapes_equality(parts):
     attribute quoting/entities/slashes in generated tags must segment
     identically on both paths."""
     assert_equal_segmentation("".join(parts))
+
+
+def test_fast_path_enabled_on_this_interpreter():
+    """The import-time stdlib-compat probe must be ON here (CPython 3.11's
+    html.parser matches the fast patterns) — if a refactor or interpreter
+    bump flips it off, every document silently takes the ~2x-slower stdlib
+    path and only this test notices. The probe itself must also fail
+    closed: a mismatching pattern disables the fast path."""
+    import re
+
+    from ocr_award_extractor_spark.functions import htmltext as h
+
+    assert h._FAST_ENABLED is True
+    # fail-closed: simulate a drifted stdlib pattern
+    orig = h._FAST_CDATA_CLOSE["script"]
+    h._FAST_CDATA_CLOSE["script"] = re.compile("</script(?=[\\t\\n\\r\\f />])")
+    try:
+        assert h._stdlib_fast_compatible() is False
+    finally:
+        h._FAST_CDATA_CLOSE["script"] = orig
+    assert h._stdlib_fast_compatible() is True
