@@ -124,7 +124,15 @@ def _resumable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(
         tempfile.gettempdir(), f"sparkgraft_commit_{tag}_{os.getpid()}")
-    pages = webify_documents(load_table(spark, sf_dir, "documents"))
+    # stage the webified pages as a parquet table ONCE: the per-batch
+    # split filter sits above the webify mapInPandas, so passing the UDF
+    # subtree directly would re-wrap the whole corpus once per batch
+    # (production input is a real table — this mirrors that shape)
+    src = os.path.join(out_dir + "_src")
+    if not os.path.exists(src):
+        webify_documents(load_table(spark, sf_dir, "documents")) \
+            .write.mode("overwrite").parquet(src)
+    pages = spark.read.parquet(src)
     # idempotent per process+sf: a second construction resumes over a
     # fully-committed dir and writes nothing
     run_resumable_extraction(spark, pages, out_dir, run_id=f"gate-{tag}")
