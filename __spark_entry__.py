@@ -103,6 +103,30 @@ def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_field_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span offsets per url (north-star: 'extracted text plus span
+    offsets'): 1-based character offset + length of each extracted field
+    within the document's extracted text (0/0 when the field is absent or
+    was normalized away). JVM-side locate over the pipeline output — the
+    relational spelling of span emission; byte-for-byte checkable because
+    the oracle reconstructs the same text and runs strpos."""
+    out = _flagship(spark, sf_dir)
+
+    def loc(c):
+        return F.when(F.col(c) != "",
+                      F.expr(f"locate({c}, ocr_text)")).otherwise(F.lit(0))
+
+    return out.select(
+        "url",
+        loc("award_level").cast("long").alias("award_start"),
+        F.length("award_level").cast("long").alias("award_len"),
+        loc("project_name").cast("long").alias("project_start"),
+        F.length("project_name").cast("long").alias("project_len"),
+        loc("competition_name").cast("long").alias("competition_start"),
+        F.length("competition_name").cast("long").alias("competition_len"),
+    )
+
+
 def _resumable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O22 write path, driver-graded: run the batched resumable-commit
     sink (per-partition lineage + dynamic partition overwrite) into a temp
@@ -235,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["resumable_write_roundtrip"] = _resumable_write_roundtrip
     q["streaming_extract_roundtrip"] = _streaming_extract_roundtrip
     q["streaming_windowed_counts"] = _streaming_windowed_counts
+    q["extract_field_spans"] = _extract_field_spans
     try:
         from ocr_award_extractor_spark.operators import (
             dedup, multimodal, similarity, textstats,
@@ -266,11 +291,12 @@ def oracle_sql() -> dict[str, str]:
     # the regex reconstruction and webify.text_to_lines diverge outside it.
     inj = injection_oracle_sql()
     txt = f"({inj['text_with_prefix']})"
-    chunked_md5 = (
-        r"md5(regexp_replace(regexp_replace(" + txt +
+    chunked = (
+        r"regexp_replace(regexp_replace(" + txt +
         r", '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'), "
-        r"chr(10) || '(.)$', ' \1'))"
+        r"chr(10) || '(.)$', ' \1')"
     )
+    chunked_md5 = f"md5({chunked})"
     n_lines = (
         f"CAST(ceil(len(string_split({txt}, ' ')) / 12.0) AS BIGINT)"
         f" - CAST(len(string_split({txt}, ' ')) % 12 = 1"
@@ -324,6 +350,27 @@ def oracle_sql() -> dict[str, str]:
                {inj['winners']} AS winners,
                {inj['teachers']} AS teachers
         FROM documents
+    """
+    # span offsets: strpos over the SAME reconstructed text; DuckDB strpos
+    # and Spark locate are both 1-based character positions, 0 = absent
+    o["extract_field_spans"] = f"""
+        WITH base AS (
+            SELECT 'https://' || source || '.example/' || lang || '/doc'
+                     || lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.html' AS url,
+                   {chunked} AS t,
+                   {inj['award_level']} AS a,
+                   {inj['project_name']} AS p,
+                   {inj['competition_name']} AS c
+            FROM documents
+        )
+        SELECT url,
+               CAST(CASE WHEN a <> '' THEN strpos(t, a) ELSE 0 END AS BIGINT) AS award_start,
+               CAST(length(a) AS BIGINT) AS award_len,
+               CAST(CASE WHEN p <> '' THEN strpos(t, p) ELSE 0 END AS BIGINT) AS project_start,
+               CAST(length(p) AS BIGINT) AS project_len,
+               CAST(CASE WHEN c <> '' THEN strpos(t, c) ELSE 0 END AS BIGINT) AS competition_start,
+               CAST(length(c) AS BIGINT) AS competition_len
+        FROM base
     """
     try:
         from ocr_award_extractor_spark.operators import (

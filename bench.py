@@ -269,7 +269,7 @@ BENCH_QUERIES = [
     "lsh_buckets", "lsh_neardup_pairs", "ivf_assign", "ivf_topk_cosine",
     "multimodal_features", "multimodal_thumbnails", "sessionize_events",
     "salted_skew_join_revenue", "asof_purchase_to_click", "range_join_events",
-    "resumable_write_roundtrip",
+    "extract_field_spans", "resumable_write_roundtrip",
     "streaming_extract_roundtrip", "streaming_windowed_counts",
 ]
 # embedding_neardup_pairs (the O(n²) brute-force baseline) is oracle-checked
