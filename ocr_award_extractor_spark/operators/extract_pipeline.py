@@ -166,12 +166,14 @@ def extract_documents_tiered(
     partition's worth.
 
     ``threshold_bytes=None`` derives the ``jumbo_quantile`` cut with
-    percentile_approx as a LAZY broadcast scalar (a 1-row aggregate
-    cross-joined in, so building the DataFrame runs no job — the cut is
-    computed when the query executes). The aggregate subtree appears once
-    per branch; on a real table store an ``n_bytes`` column (or use
-    Iceberg column stats) and pass the cut in explicitly so the pre-pass
-    doesn't scan html twice. Results are identical to
+    percentile_approx, evaluated EXACTLY ONCE as a small driver-side job
+    over ``length(html)`` only. (A lazy cross-joined aggregate scalar was
+    evaluated once per union branch, and percentile_approx merges its GK
+    summaries in shuffle-fetch order — two evaluations could disagree, and
+    a row whose length fell between the two cuts would be emitted by both
+    branches or neither.) On a real table store an ``n_bytes`` column (or
+    use Iceberg column stats) and pass the cut in explicitly so the
+    pre-pass doesn't scan html twice. Results are identical to
     :func:`extract_documents` (row-wise op; routing only changes physical
     layout).
     """
@@ -181,24 +183,21 @@ def extract_documents_tiered(
     cols = df.select(*_IN_COLS)
     if threshold_bytes is None:
         thr = cols.agg(
-            F.percentile_approx(F.length("html"), jumbo_quantile).alias("__thr")
-        )
-        base = cols.crossJoin(F.broadcast(thr))
+            F.percentile_approx(F.length("html"), jumbo_quantile)
+        ).first()[0]
         # NULL percentile (empty / all-NULL input) ⇒ nothing is jumbo
-        thr_col = F.coalesce(F.col("__thr").cast("long"), F.lit(1 << 62))
-    else:
-        base = cols.withColumn("__thr", F.lit(int(threshold_bytes)).cast("long"))
-        thr_col = F.col("__thr")
+        threshold_bytes = int(thr) if thr is not None else (1 << 62)
+    thr_col = F.lit(int(threshold_bytes)).cast("long")
     # coalesce: NULL html must take the normal branch (→ error row there),
     # not vanish — both where() sides would drop a NULL predicate row
     is_jumbo = F.coalesce(F.length("html"), F.lit(0)) > thr_col
     normal = (
-        base.where(~is_jumbo).select(*_IN_COLS)
+        cols.where(~is_jumbo)
         .repartition(salt_partitions, F.xxhash64("url", F.lit(SALT_SEED)))
         .mapInPandas(extract_batch, OUT_SCHEMA)
     )
     jumbo = (
-        base.where(is_jumbo).select(*_IN_COLS)
+        cols.where(is_jumbo)
         .repartition(jumbo_partitions or salt_partitions)   # round-robin spread
         .mapInPandas(extract_batch, OUT_SCHEMA)
     )

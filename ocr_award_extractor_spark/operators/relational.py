@@ -42,15 +42,37 @@ def filter_keyword_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------- O7 flatten/unnest with blank filter
-def tokens_nonblank_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array flatten + blank drop (certificate_ocr.py:134-143): tokens whose
-    trim is non-empty, counted per document."""
+# ---------------- merged per-doc projection: O7 + O9 + O17 + O19 in one slot
+def doc_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR reference operators in one oracle-checked projection (the
+    driver grades at most 50 queries, so near-duplicate per-doc projections
+    share a slot — each column is still a distinct, citable check):
+
+    * ``n_tokens``  — O7 flatten + blank filter (certificate_ocr.py:134-143):
+      tokens whose trim is non-empty, counted;
+    * ``head3``     — O9 order-preserving concat of the first 3 tokens
+      (newline-join analog, certificate_ocr.py:149);
+    * ``norm_md5``/``norm_len`` — O17 clean_text whitespace collapse
+      (certificate_ocr.py:399) fingerprinted;
+    * ``toks``/``n_distinct``   — O19 list(set(...)) dedupe with a PINNED
+      sort (the reference's order is hash-seed nondeterministic —
+      documented divergence, certificate_ocr.py:305-306).
+
+    One scan, one split (pre-projected so CollapseProject keeps it a single
+    evaluation), zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    kept = F.filter(F.split(F.col("text"), " "),
-                    lambda x: F.length(F.trim(x)) > 0)
+    docs = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("t"))
+    kept = F.filter(F.col("t"), lambda x: F.length(F.trim(x)) > 0)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    dt = F.array_sort(F.array_distinct(F.col("t")))
     return docs.select(
-        "doc_id", F.size(kept).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(kept).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(F.col("t"), 1, 3)).alias("head3"),
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+        F.concat_ws(",", dt).alias("toks"),
+        F.size(dt).cast("long").alias("n_distinct"),
     )
 
 
@@ -61,17 +83,6 @@ def avg_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.count(F.lit(1)).alias("docs"),
-    )
-
-
-# ------------------------------------------------------- O9 ordered concat
-def head_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-preserving join of the first 3 tokens (newline-join analog,
-    certificate_ocr.py:149)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 3)).alias("head3"),
     )
 
 
@@ -107,41 +118,18 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------------------------------------------- O14 regex extract
-def extract_prop_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-group regex extract (certificate_ocr.py:357-360 analog) over
-    the events JSON props."""
+# -------------------- merged per-event projection: O14 + O21 in one slot
+def event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 first-group regex extract (certificate_ocr.py:357-360 analog)
+    AND O21 semi-structured JSON parse (the LLM-reply parse of
+    certificate_ocr.py:251-252, spelled relationally) over the events
+    props column — one scan, one slot under the driver's 50-query cap,
+    both columns independently citable."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).alias("k_str"),
-    )
-
-
-# ----------------------------------------------------- O17 string normalize
-def normalize_ws_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clean_text whitespace collapse (certificate_ocr.py:399) + md5
-    fingerprint of the normalized text."""
-    docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
-    return docs.select(
-        "doc_id",
-        F.md5(norm).alias("norm_md5"),
-        F.length(norm).cast("long").alias("norm_len"),
-    )
-
-
-# ------------------------------------------------- O19 array_distinct (set)
-def distinct_tokens_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic spelling of the reference's list(set(...)) dedupe
-    (certificate_ocr.py:305-306): distinct + PINNED sort (the reference's
-    order is hash-seed nondeterministic — documented divergence)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_sort(F.array_distinct(F.split(F.col("text"), " ")))
-    return docs.select(
-        "doc_id",
-        F.concat_ws(",", toks).alias("toks"),
-        F.size(toks).cast("long").alias("n_distinct"),
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k_val"),
     )
 
 
@@ -202,17 +190,6 @@ def first_keyword_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for kw in reversed(KEYWORD_PRIORITY):
         expr = F.when(F.col("text").contains(kw), kw).otherwise(expr)
     return docs.select("doc_id", expr.alias("first_kw"))
-
-
-# ------------------------------------------------- O21 semi-structured parse
-def parse_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """from_json over the events props column (the LLM-reply JSON parse of
-    certificate_ocr.py:251-252, spelled relationally)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.from_json(F.col("props"), "k INT").getField("k").alias("k_val"),
-    )
 
 
 # --------------------------------------------------------- O22 JSON emit
@@ -475,19 +452,19 @@ ORACLES = {
         SELECT doc_id, lang, n_chars FROM documents
         WHERE regexp_matches(text, 'window|stream')
     """,
-    "tokens_nonblank_count": """
+    "doc_token_profile": r"""
         SELECT doc_id,
-               len(list_filter(string_split(text, ' '), x -> len(trim(x)) > 0)) AS n_tokens
+               len(list_filter(string_split(text, ' '), x -> len(trim(x)) > 0)) AS n_tokens,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS head3,
+               md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_md5,
+               len(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS toks,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
         FROM documents
     """,
     "avg_chars_by_lang": """
         SELECT lang, round(avg(n_chars), 4) AS avg_chars, count(*) AS docs
         FROM documents GROUP BY lang
-    """,
-    "head_tokens": """
-        SELECT doc_id,
-               array_to_string(string_split(text, ' ')[1:3], ' ') AS head3
-        FROM documents
     """,
     "longest_token_per_doc": """
         SELECT doc_id, tok, len(tok) AS tok_len FROM (
@@ -507,21 +484,11 @@ ORACLES = {
             FROM events
         ) WHERE rn = 1
     """,
-    "extract_prop_k": """
-        SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str
+    "event_props": """
+        SELECT event_id,
+               regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
         FROM events
-    """,
-    "normalize_ws_fingerprint": r"""
-        SELECT doc_id,
-               md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_md5,
-               len(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len
-        FROM documents
-    """,
-    "distinct_tokens_sorted": """
-        SELECT doc_id,
-               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS toks,
-               len(list_distinct(string_split(text, ' '))) AS n_distinct
-        FROM documents
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -564,10 +531,6 @@ ORACLES = {
                     ELSE '' END AS first_kw
         FROM documents
     """,
-    "parse_props_json": """
-        SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_val
-        FROM events
-    """,
     "docs_to_json": """
         SELECT doc_id,
                to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
@@ -590,20 +553,16 @@ ORACLES = {
 QUERIES = {
     "count_by_lang": count_by_lang,
     "filter_keyword_docs": filter_keyword_docs,
-    "tokens_nonblank_count": tokens_nonblank_count,
+    "doc_token_profile": doc_token_profile,
+    "event_props": event_props,
     "avg_chars_by_lang": avg_chars_by_lang,
-    "head_tokens": head_tokens,
     "longest_token_per_doc": longest_token_per_doc,
     "latest_event_per_user": latest_event_per_user,
-    "extract_prop_k": extract_prop_k,
-    "normalize_ws_fingerprint": normalize_ws_fingerprint,
-    "distinct_tokens_sorted": distinct_tokens_sorted,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_by_order": q3_revenue_by_order,
     "monthly_order_rollup": monthly_order_rollup,
     "running_revenue_per_customer": running_revenue_per_customer,
     "first_keyword_hit": first_keyword_hit,
-    "parse_props_json": parse_props_json,
     "docs_to_json": docs_to_json,
     "sessionize_events": sessionize_events,
     "salted_skew_join_revenue": salted_skew_join_revenue,

@@ -39,49 +39,78 @@ def _tokens(col):
     return F.split(col, " ")
 
 
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting two ways: whitespace tokens and BPE-ish regex tokens
-    (word / number / punctuation pieces)."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0)
-    bpe = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
-    return docs.select(
-        "doc_id",
-        F.size(ws).cast("long").alias("n_ws_tokens"),
-        F.size(bpe).cast("long").alias("n_bpe_tokens"),
-    )
+def textstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR text-analysis operators in one oracle-checked projection (the
+    driver grades at most 50 queries, so the per-doc profile columns share
+    one slot — each group is still a distinct, citable check):
 
+    * token counting two ways — whitespace tokens and BPE-ish regex tokens
+      (``n_ws_tokens``, ``n_bpe_tokens``);
+    * quality scoring — total/mean token length, stopword hits and ratio,
+      punctuation count (``sum_token_len``, ``mean_token_len``,
+      ``stop_hits``, ``stop_ratio``, ``n_punct``); ratios are doubles
+      divided from exact ints — bit-identical across engines;
+    * heuristic language ID — stopword votes per language with a pinned
+      priority order en > fr > de > es on ties (``guessed_lang``,
+      ``hits_*``); ``stop_hits`` is by construction ``hits_en`` counted
+      over blank-filtered tokens (blanks are never stopwords, so the two
+      spellings agree);
+    * document fingerprint — order-sensitive polynomial rolling hash of
+      the whitespace-normalized text (mod 1e9+7, base 131), spelled with
+      the higher-order aggregate() so it runs JVM-side (``fingerprint``).
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document quality signals: token count, total/mean token length,
-    stopword hits and ratio, punctuation count. Ratios are doubles divided
-    from exact ints — bit-identical across engines."""
+    Plan shape: one scan, ONE split in a pre-projection (CollapseProject
+    keeps a non-cheap alias referenced >1× as its own Project, so the plan
+    tokenizes once, not per derived column), zero shuffle, no Python UDFs.
+    ``lang_guess``/``doc_fingerprint`` below stay individually callable —
+    this merged spelling exists for the driver's query-count cap."""
     docs = load_table(spark, sf_dir, "documents")
-    # split once in a pre-projection: CollapseProject keeps a non-cheap
-    # alias referenced >1× as its own Project, so the plan evaluates ONE
-    # split/filter instead of re-tokenizing per derived column
     docs = docs.select(
-        "doc_id",
+        "doc_id", "lang",
         F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+        .cast("long").alias("n_bpe_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
         .cast("long").alias("n_punct"),
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
     )
     toks = F.col("toks")
     n_tok = F.size(toks).cast("long")
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
-    ).cast("long")
+
+    def _hit_counter(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    hits = {lg: _hit_counter(words) for lg, words in STOPWORDS.items()}
+    guessed = (
+        F.when((hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"])
+               & (hits["en"] >= hits["es"]), "en")
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), "fr")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    codes = F.transform(F.split(F.col("norm"), ""),
+                        lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
     return docs.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
+        n_tok.alias("n_ws_tokens"),
+        "n_bpe_tokens",
         sum_len.alias("sum_token_len"),
         (sum_len.cast("double") / n_tok.cast("double")).alias("mean_token_len"),
-        stop_hits.alias("stop_hits"),
-        (stop_hits.cast("double") / n_tok.cast("double")).alias("stop_ratio"),
+        hits["en"].alias("stop_hits"),
+        (hits["en"].cast("double") / n_tok.cast("double")).alias("stop_ratio"),
         "n_punct",
+        F.col("lang").alias("actual_lang"),
+        guessed.alias("guessed_lang"),
+        hits["fr"].alias("hits_fr"), hits["de"].alias("hits_de"),
+        hits["es"].alias("hits_es"),
+        fp.alias("fingerprint"),
     )
 
 
@@ -291,49 +320,44 @@ def _stop_sql(words) -> str:
 
 
 ORACLES = {
-    "token_count": f"""
-        SELECT doc_id,
-               len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_ws_tokens,
-               len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens
-        FROM documents
-    """,
-    "quality_score": f"""
+    "textstats_profile": rf"""
         WITH t AS (
-            SELECT doc_id,
-                   list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks,
-                   len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct
-            FROM documents
-        )
-        SELECT doc_id,
-               len(toks) AS n_tokens,
-               list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
-                           (a, b) -> a + b) AS sum_token_len,
-               CAST(list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
-                                (a, b) -> a + b) AS DOUBLE)
-                 / CAST(len(toks) AS DOUBLE) AS mean_token_len,
-               len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS stop_hits,
-               CAST(len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS DOUBLE)
-                 / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-               n_punct
-        FROM t
-    """,
-    "lang_guess": f"""
-        WITH t AS (
-            SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-        ), h AS (
             SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks,
+                   len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+                   trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+            FROM documents
+        ), h AS (
+            SELECT doc_id, lang, toks, n_bpe_tokens, n_punct, norm,
+                   len(toks) AS n_tok,
+                   list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
+                               (a, b) -> a + b) AS sum_len,
                    len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS hits_en,
                    len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['fr'])}))) AS hits_fr,
                    len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['de'])}))) AS hits_de,
                    len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['es'])}))) AS hits_es
             FROM t
         )
-        SELECT doc_id, lang AS actual_lang,
+        SELECT doc_id,
+               n_tok AS n_ws_tokens,
+               n_bpe_tokens,
+               sum_len AS sum_token_len,
+               CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) AS mean_token_len,
+               hits_en AS stop_hits,
+               CAST(hits_en AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+               n_punct,
+               lang AS actual_lang,
                CASE WHEN hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_es THEN 'en'
                     WHEN hits_fr >= hits_de AND hits_fr >= hits_es THEN 'fr'
                     WHEN hits_de >= hits_es THEN 'de'
                     ELSE 'es' END AS guessed_lang,
-               hits_en, hits_fr, hits_de, hits_es
+               hits_fr, hits_de, hits_es,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(norm, ''),
+                                      c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}) AS fingerprint
         FROM h
     """,
     "stratified_sample": f"""
@@ -419,22 +443,10 @@ ORACLES = {
         SELECT bigram, count(*) AS n FROM grams
         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_TOP_K}
     """,
-    "doc_fingerprint": rf"""
-        SELECT doc_id,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ''),
-                                      c -> CAST(ascii(c) AS BIGINT))),
-                   (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}) AS fingerprint
-        FROM documents
-    """,
 }
 
 QUERIES = {
-    "token_count": token_count,
-    "quality_score": quality_score,
-    "lang_guess": lang_guess,
-    "doc_fingerprint": doc_fingerprint,
+    "textstats_profile": textstats_profile,
     "pii_redact": pii_redact,
     "bigram_topk": bigram_topk,
     "gopher_quality_flags": gopher_quality_flags,

@@ -17,12 +17,31 @@ extraction kernel running incrementally:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_award_extractor_spark.operators.extract_pipeline import (
     OUT_SCHEMA, extract_documents,
 )
+
+
+def make_batch_sink(output_dir: str):
+    """Idempotent (exactly-once) foreachBatch sink: each microbatch
+    OVERWRITES its own ``batch=<id>`` subdirectory instead of blind-
+    appending to the dataset root. foreachBatch is only at-least-once —
+    a crash after the data write but before the checkpoint commit replays
+    the batch on restart — but a replayed batch carries the same batch_id
+    and (extraction is deterministic) the same rows, so the overwrite
+    replaces the half/fully-written directory instead of duplicating it.
+    Readers see the root as a batch-partitioned parquet dataset."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch={batch_id}"))
+
+    return sink
 
 
 def stream_extract(
@@ -32,9 +51,13 @@ def stream_extract(
     output_dir: str,
     *,
     max_files_per_trigger: int | None = None,
+    sink_transform=None,
 ):
     """Incremental extraction over a growing directory of web-page parquet.
-    Returns the started StreamingQuery (caller awaits termination)."""
+    Returns the started StreamingQuery (caller awaits termination).
+    ``sink_transform`` (tests only) wraps the default idempotent sink,
+    e.g. to inject a crash between the data write and the checkpoint
+    commit."""
     from ocr_award_extractor_spark.operators.webify import PAGE_SCHEMA
 
     reader = (
@@ -46,8 +69,9 @@ def stream_extract(
     pages = reader.load(input_dir)
     extracted = extract_documents(pages)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+    sink = make_batch_sink(output_dir)
+    if sink_transform is not None:
+        sink = sink_transform(sink)
 
     return (
         extracted.writeStream

@@ -63,6 +63,43 @@ def test_rerun_after_complete_is_noop(spark, tmp_path):
     assert read_committed(spark, out).count() == 50
 
 
+def test_verify_lineage_detects_corruption(spark, tmp_path):
+    """The checksum audit must actually DETECT damage (VERDICT r2 #7):
+    corrupt one committed split by dropping a row (row_count mismatch) and
+    another by altering one document's ocr_text with the row count intact
+    (checksum-only mismatch) — the auditor flags exactly those two splits
+    and nothing else."""
+    import os
+
+    out = str(tmp_path / "run3")
+    docs = load_fixture(spark, n_docs=80)
+    run_resumable_extraction(spark, docs, out, "audit", n_splits=4, n_batches=2)
+    assert verify_lineage(spark, out).count() == 0
+
+    def rewrite_split(split_id, mutate):
+        path = os.path.join(out, "data", f"split_id={split_id}")
+        rows = spark.read.parquet(path).collect()
+        schema = spark.read.parquet(path).schema
+        spark.createDataFrame(mutate([r.asDict() for r in rows]), schema) \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+
+    # split 1: silently lose one row (valid parquet, wrong row_count)
+    rewrite_split(1, lambda rows: rows[1:])
+
+    # split 2: same row count, one ocr_text altered (checksum-only damage)
+    def tamper(rows):
+        rows[0]["ocr_text"] = (rows[0]["ocr_text"] or "") + " TAMPERED"
+        return rows
+
+    rewrite_split(2, tamper)
+
+    bad = {r["split_id"]: r for r in verify_lineage(spark, out).collect()}
+    assert set(bad) == {1, 2}
+    assert bad[1]["row_count"] != bad[1]["actual_rows"]
+    assert bad[2]["row_count"] == bad[2]["actual_rows"]      # count intact
+    assert bad[2]["checksum"] != bad[2]["actual_checksum"]   # content caught
+
+
 def test_real_kill9_and_resume(spark, tmp_path):
     """Hard-kill drive (SURVEY.md §5.2.5 for real): SIGKILL the whole
     process group of a running job after its first batch commit, then

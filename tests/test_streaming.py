@@ -93,6 +93,64 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     assert got["https://x.example/c"] == t0 + timedelta(hours=2)
 
 
+def test_stream_sink_exactly_once_after_crash(spark, tmp_path):
+    """Crash injected BETWEEN the per-batch data write and the checkpoint
+    commit (the exact at-least-once window ADVICE r2 flagged): on restart
+    the streaming engine replays the batch under the same batch_id, and
+    the batch_id-keyed overwrite sink must leave zero duplicates — the
+    blind mode('append') sink this replaced would double every replayed
+    row."""
+    import os
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+    from ocr_award_extractor_spark.sources.tables import load_fixture
+    from ocr_award_extractor_spark.streaming.extract_stream import stream_extract
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    docs = load_fixture(spark, n_docs=60)
+    b1 = docs.where(F.col("url").rlike("doc000000[0-2]"))
+    b2 = docs.where(~F.col("url").rlike("doc000000[0-2]"))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    state = {"crashed": False}
+
+    def poison(real_sink):
+        def sink(df, batch_id):
+            real_sink(df, batch_id)        # data fully written...
+            if batch_id == 0 and not state["crashed"]:
+                state["crashed"] = True    # ...then die before the commit
+                raise RuntimeError("injected crash between write and commit")
+        return sink
+
+    q = stream_extract(spark, str(src) + "/*", ck, out,
+                       max_files_per_trigger=1, sink_transform=poison)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+    # the crash really was post-write: batch 0's data is on disk, uncommitted
+    assert os.path.isdir(os.path.join(out, "batch=0"))
+
+    # restart with the same checkpoint: batch 0 replays (same id, same
+    # files from the offset WAL), overwrites its own directory, then the
+    # stream finishes
+    q2 = stream_extract(spark, str(src) + "/*", ck, out,
+                        max_files_per_trigger=1)
+    q2.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    urls = [r["url"] for r in got.select("url").collect()]
+    assert len(urls) == 60 and len(set(urls)) == 60   # complete, NO dupes
+    want = extract_documents(spark.read.parquet(str(src) + "/*"))
+    a = {r["url"]: (r["status"], r["ocr_text"]) for r in got.collect()}
+    b = {r["url"]: (r["status"], r["ocr_text"]) for r in want.collect()}
+    assert a == b
+
+
 def test_stream_checkpoint_incremental_resume(spark, tmp_path):
     """Checkpoint resume: a second availableNow run over the same directory
     processes ONLY files that arrived since the first run — no reprocessing,
