@@ -131,6 +131,14 @@ def extract_with_model(
 
     ensure_package_on_workers(extracted.sparkSession)
     src = extracted.select("url", "ocr_text")
+
+    _cols = [f.name for f in MODEL_SCHEMA.fields]
+
+    def _columnar(recs: list[tuple]) -> pd.DataFrame:
+        # per-column build (the repo-wide fix for per-cell type inference)
+        data = {c: [r[i] for r in recs] for i, c in enumerate(_cols)}
+        return pd.DataFrame(data, columns=_cols, copy=False)
+
     if not use_model:
         def rule_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -139,7 +147,7 @@ def extract_with_model(
                     f = extract_fields((text or "").split("\n"))
                     recs.append((url, f["competition_name"], f["award_level"],
                                  f["project_name"], f["winner"], f["teacher"], "rule"))
-                yield pd.DataFrame(recs, columns=[f.name for f in MODEL_SCHEMA.fields])
+                yield _columnar(recs)
         return src.mapInPandas(rule_batch, MODEL_SCHEMA)
 
     def model_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,6 +160,6 @@ def extract_with_model(
                 recs.append((url, fields["competition_name"], fields["award_level"],
                              fields["project_name"], fields["winner"],
                              fields["teacher"], path))
-            yield pd.DataFrame(recs, columns=[f.name for f in MODEL_SCHEMA.fields])
+            yield _columnar(recs)
 
     return src.mapInPandas(model_batch, MODEL_SCHEMA)

@@ -193,3 +193,34 @@ def test_asof_join_single_exchange(spark):
                   if re.search(r"\bSort \(\d+\)$", ln.strip()))
     assert n_exchanges == 1, plan
     assert n_sorts == 1, plan
+
+
+def test_merged_profile_queries_are_shuffle_free(spark):
+    """The merged driver-gate projections (doc_token_profile,
+    textstats_profile) must stay pure scan→project plans — zero exchanges,
+    tokenize-once pre-projection intact (a regression that re-splits per
+    derived column would show up as a fatter plan, one that groups or
+    joins would show an Exchange)."""
+    from ocr_award_extractor_spark.operators.relational import doc_token_profile
+    from ocr_award_extractor_spark.operators.textstats import textstats_profile
+
+    for q in (doc_token_profile, textstats_profile):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, plan
+
+
+def test_tiered_threshold_evaluated_once(spark):
+    """ADVICE r2: the jumbo cut must be a pre-evaluated literal, not a
+    lazy aggregate subtree duplicated into both union branches (two
+    percentile_approx executions can disagree, duplicating or dropping
+    boundary rows). The returned plan must contain NO percentile_approx
+    and NO join — just the two repartition exchanges."""
+    from ocr_award_extractor_spark.operators.extract_pipeline import (
+        extract_documents_tiered,
+    )
+
+    docs = load_fixture(spark, n_docs=50)
+    plan = _plan(extract_documents_tiered(docs, salt_partitions=4,
+                                          jumbo_quantile=0.9))
+    assert "percentile_approx" not in plan, plan
+    assert "Join" not in plan, plan

@@ -151,6 +151,26 @@ def test_stream_sink_exactly_once_after_crash(spark, tmp_path):
     assert a == b
 
 
+def test_driver_streaming_queries_are_reinvocable(spark):
+    """ADVICE r2 (low): a second invocation of a streaming queries() entry
+    in the same process used to return an EMPTY frame — the checkpoint was
+    caught up, so the re-started availableNow query executed zero batches
+    and the fresh memory-sink table stayed empty. The materialized-result
+    path must return the same non-empty rows on every invocation."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, entrymod._streaming_windowed_counts(spark, sf).collect()))
+    b = sorted(map(tuple, entrymod._streaming_windowed_counts(spark, sf).collect()))
+    assert a == b and len(a) > 0
+
+    c = entrymod._stream_dedup_first_seen(spark, sf).collect()
+    d = entrymod._stream_dedup_first_seen(spark, sf).collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, d))
+    urls = [r["url"] for r in c]
+    assert len(urls) > 0 and len(set(urls)) == len(urls)   # deduped, non-empty
+
+
 def test_stream_checkpoint_incremental_resume(spark, tmp_path):
     """Checkpoint resume: a second availableNow run over the same directory
     processes ONLY files that arrived since the first run — no reprocessing,
