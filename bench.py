@@ -278,9 +278,18 @@ def run_approx_quality(spark) -> dict:
         # cos≥0.9 (BENCH.md's ~10⁻⁵-of-pairs claim was analytic only —
         # this logs the measured fraction at each corpus size; the
         # fraction falls as R grows log(n), trending to the analytic
-        # value at production n)
+        # value at production n). Where the corpus HAS cos≥0.9 pairs
+        # (the x4 corpus's perturbed copies), recall at the strict
+        # design is measured too — prune AND recall, both sides.
         b9, r9 = lsh_params(n, design_p=p09)
-        n_cand9 = lsh_candidate_pairs(spark, sf_dir, bands=b9, rows=r9).count()
+        true09 = {(int(ids[i]), int(ids[j]))
+                  for i, j in zip(*[x[cos[iu] >= 0.9] for x in iu])}
+        cand9 = {(r["va"], r["vb"])
+                 for r in lsh_candidate_pairs(
+                     spark, sf_dir, bands=b9, rows=r9).collect()}
+        n_cand9 = len(cand9)
+        recall09 = (round(len(cand9 & true09) / len(true09), 4)
+                    if true09 else None)
         out[tag] = {
             "n_vectors": n,
             "lsh_bands": bands, "lsh_rows": rws,
@@ -295,6 +304,8 @@ def run_approx_quality(spark) -> dict:
                 "bands": b9, "rows": r9, "candidate_pairs": n_cand9,
                 "candidate_frac_of_all_pairs":
                     round(n_cand9 / (n * (n - 1) / 2), 6),
+                "true_pairs_at_090": len(true09),
+                "recall_at_090": recall09,
             },
         }
         log(f"  approx[{tag}]: n={n} (B={bands},R={rws}) cand={n_cand} "

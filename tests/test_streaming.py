@@ -151,6 +151,57 @@ def test_stream_sink_exactly_once_after_crash(spark, tmp_path):
     assert a == b
 
 
+def test_stateful_dedup_runs_on_rocksdb_state_store(spark, tmp_path):
+    """The 10¹²-doc scale path for streaming state is the RocksDB
+    provider (state spills to local disk instead of living on the JVM
+    heap). This pins that the dedup operator actually RUNS on it — same
+    semantics as the default HDFS-backed provider — so the scale claim in
+    stream_dedup_first_seen's docstring is exercised code, not prose."""
+    from datetime import datetime, timedelta
+
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        stream_dedup_first_seen,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "pages"
+        src.mkdir()
+        t0 = datetime(2024, 3, 1)
+
+        def page(u, ts_off):
+            return ("https://x.example/" + u, t0 + timedelta(hours=ts_off),
+                    b"<html></html>", "", "en")
+
+        cols = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+        spark.createDataFrame([page("a", 0), page("b", 1)], cols) \
+            .coalesce(1).write.parquet(str(src / "b1"))
+        spark.createDataFrame([page("b", 5), page("c", 6)], cols) \
+            .coalesce(1).write.parquet(str(src / "b2"))
+
+        q = stream_dedup_first_seen(
+            spark, str(src) + "/*", str(tmp_path / "ck"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        assert q.lastProgress["batchId"] >= 1   # state crossed batches
+        got = {r["url"]: r["first_ts"]
+               for r in spark.table("dedup_urls").collect()}
+        assert set(got) == {f"https://x.example/{u}" for u in "abc"}
+        assert got["https://x.example/b"] == t0 + timedelta(hours=1)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_driver_streaming_queries_are_reinvocable(spark):
     """ADVICE r2 (low): a second invocation of a streaming queries() entry
     in the same process used to return an EMPTY frame — the checkpoint was
