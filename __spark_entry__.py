@@ -71,14 +71,31 @@ def _extract_pipeline_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jumbo-routed (two-tier) spelling of the flagship pipeline. Shares
     the extract_pipeline_text oracle: routing is a physical-layout choice,
     so the result set must be identical — DuckDB proves it independently
-    of the plain-pipeline test."""
+    of the plain-pipeline test.
+
+    The webified pages are STAGED to parquet first: the tiered router's
+    percentile pre-pass plus its two branches read the input three times,
+    and reading a staged table three times is cheap while re-running the
+    whole-corpus webify UDF three times is not (production input is a
+    real table — this mirrors that shape; same staging as the resumable
+    and streaming entries)."""
+    import os
+    import tempfile
+
     from ocr_award_extractor_spark.operators.extract_pipeline import (
         extract_documents_tiered,
     )
     from ocr_award_extractor_spark.operators.webify import webify_documents
     from ocr_award_extractor_spark.sources.tables import load_table
 
-    pages = webify_documents(load_table(spark, sf_dir, "documents"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_tiered_src_{tag}_{os.getpid()}")
+    if not os.path.exists(src):
+        webify_documents(load_table(spark, sf_dir, "documents")) \
+            .write.mode("overwrite").parquet(src + ".tmp")
+        os.rename(src + ".tmp", src)
+    pages = spark.read.parquet(src)
     out = extract_documents_tiered(pages, salt_partitions=16, jumbo_quantile=0.97)
     return out.select(
         "url", "status", F.md5("ocr_text").alias("text_md5"),
@@ -196,7 +213,9 @@ def _streaming_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         webify_documents(load_table(spark, sf_dir, "documents")) \
             .write.mode("overwrite").parquet(src)
     q = stream_extract(spark, src, ck, out)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming extract did not catch up in 600s")
     return spark.read.parquet(out).select(
         "url", "status", F.md5("ocr_text").alias("text_md5"),
         F.col("n_lines").cast("long").alias("n_lines"),
@@ -239,7 +258,11 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # materialize ONLY a finished run: a timeout here would snapshot a
+    # partial memory table into the permanent result cache
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("windowed-counts stream did not finish in 600s")
     spark.table(name).write.mode("overwrite").parquet(result)
     return spark.read.parquet(result)
 
@@ -267,20 +290,24 @@ def _stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.exists(result):
         return spark.read.parquet(result)
     if not os.path.exists(src):
-        pages = webify_documents(load_table(spark, sf_dir, "documents"))
-        pages.coalesce(1).write.mode("overwrite") \
-            .parquet(os.path.join(src, "crawl1"))
-        (pages.withColumn("warc_ts",
-                          F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
-         .coalesce(1).write.mode("overwrite")
-         .parquet(os.path.join(src, "crawl2")))
+        tmp = src + ".tmp"
+        c1, c2 = os.path.join(tmp, "crawl1"), os.path.join(tmp, "crawl2")
+        webify_documents(load_table(spark, sf_dir, "documents")) \
+            .coalesce(1).write.mode("overwrite").parquet(c1)
+        # derive the re-crawl copy from the STAGED crawl1 — not from the
+        # lazy webify plan, which would re-run the whole-corpus UDF
+        (spark.read.parquet(c1)
+         .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+         .coalesce(1).write.mode("overwrite").parquet(c2))
         # pin file-source arrival order: mtime(crawl1) < mtime(crawl2)
-        for sub, t in (("crawl1", 1_000_000_000), ("crawl2", 1_000_000_600)):
-            d = os.path.join(src, sub)
+        for d, t in ((c1, 1_000_000_000), (c2, 1_000_000_600)):
             for f in os.listdir(d):
                 os.utime(os.path.join(d, f), (t, t))
+        os.rename(tmp, src)
     q = stream_dedup_first_seen(spark, src + "/*", ck, max_files_per_trigger=1)
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stateful dedup stream did not finish in 600s")
     spark.table("dedup_urls").write.mode("overwrite").parquet(result)
     return spark.read.parquet(result)
 

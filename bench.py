@@ -265,8 +265,11 @@ def run_approx_quality(spark) -> dict:
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         cos = En @ En.T
         iu = np.triu_indices(n, 1)
+        cu = cos[iu]          # gather ONCE: n(n-1)/2 upper-triangle values
+        del cos               # the full n×n matrix (512MB at n=8k) is done
+        mask = cu >= NEARDUP_THRESHOLD
         true = {(int(ids[i]), int(ids[j]))
-                for i, j in zip(*[x[cos[iu] >= NEARDUP_THRESHOLD] for x in iu])}
+                for i, j in zip(iu[0][mask], iu[1][mask])}
 
         bands, rws = _corpus_lsh_params(sf_dir)
         n_cand = lsh_candidate_pairs(spark, sf_dir).count()
@@ -282,8 +285,9 @@ def run_approx_quality(spark) -> dict:
         # (the x4 corpus's perturbed copies), recall at the strict
         # design is measured too — prune AND recall, both sides.
         b9, r9 = lsh_params(n, design_p=p09)
+        mask09 = cu >= 0.9
         true09 = {(int(ids[i]), int(ids[j]))
-                  for i, j in zip(*[x[cos[iu] >= 0.9] for x in iu])}
+                  for i, j in zip(iu[0][mask09], iu[1][mask09])}
         cand9 = {(r["va"], r["vb"])
                  for r in lsh_candidate_pairs(
                      spark, sf_dir, bands=b9, rows=r9).collect()}

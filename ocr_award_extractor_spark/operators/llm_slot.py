@@ -132,34 +132,31 @@ def extract_with_model(
     ensure_package_on_workers(extracted.sparkSession)
     src = extracted.select("url", "ocr_text")
 
+    from ocr_award_extractor_spark.functions.batching import records_to_frame
+
     _cols = [f.name for f in MODEL_SCHEMA.fields]
 
-    def _columnar(recs: list[tuple]) -> pd.DataFrame:
-        # per-column build (the repo-wide fix for per-cell type inference)
-        data = {c: [r[i] for r in recs] for i, c in enumerate(_cols)}
-        return pd.DataFrame(data, columns=_cols, copy=False)
+    def _rec(url, fields, path) -> dict:
+        return {"url": url, "competition_name": fields["competition_name"],
+                "award_level": fields["award_level"],
+                "project_name": fields["project_name"],
+                "winner": fields["winner"], "teacher": fields["teacher"],
+                "path": path}
 
     if not use_model:
         def rule_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                recs = []
-                for url, text in zip(pdf["url"], pdf["ocr_text"]):
-                    f = extract_fields((text or "").split("\n"))
-                    recs.append((url, f["competition_name"], f["award_level"],
-                                 f["project_name"], f["winner"], f["teacher"], "rule"))
-                yield _columnar(recs)
+                recs = [_rec(url, extract_fields((text or "").split("\n")), "rule")
+                        for url, text in zip(pdf["url"], pdf["ocr_text"])]
+                yield records_to_frame(recs, _cols)
         return src.mapInPandas(rule_batch, MODEL_SCHEMA)
 
     def model_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             texts = [(t or "") for t in pdf["ocr_text"]]
             replies = infer_fn([PROMPT_TEMPLATE.format(text=t) for t in texts])
-            recs = []
-            for url, text, reply in zip(pdf["url"], texts, replies):
-                fields, path = parse_model_reply(reply, text)
-                recs.append((url, fields["competition_name"], fields["award_level"],
-                             fields["project_name"], fields["winner"],
-                             fields["teacher"], path))
-            yield _columnar(recs)
+            recs = [_rec(url, *parse_model_reply(reply, text))
+                    for url, text, reply in zip(pdf["url"], texts, replies)]
+            yield records_to_frame(recs, _cols)
 
     return src.mapInPandas(model_batch, MODEL_SCHEMA)

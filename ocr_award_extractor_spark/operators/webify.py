@@ -172,18 +172,13 @@ def wrap_row(doc_id: int, text: str, lang: str, source: str) -> dict:
 _PAGE_COLS = tuple(f.name for f in PAGE_SCHEMA.fields)
 
 
-def _columnar(rows: list[dict]) -> pd.DataFrame:
-    """Per-column frame build — a list-of-dicts pd.DataFrame(...) does
-    per-cell type inference, measured at ~2× of the whole stage cost
-    (same fix as extract_pipeline.extract_batch / multimodal)."""
-    data = {c: [r[c] for r in rows] for c in _PAGE_COLS}
-    return pd.DataFrame(data, columns=list(_PAGE_COLS), copy=False)
-
-
 def _wrap_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_award_extractor_spark.functions.batching import records_to_frame
+
     for pdf in batches:
-        yield _columnar([wrap_row(int(r.doc_id), r.text, r.lang, r.source)
-                         for r in pdf.itertuples(index=False)])
+        yield records_to_frame(
+            [wrap_row(int(r.doc_id), r.text, r.lang, r.source)
+             for r in pdf.itertuples(index=False)], _PAGE_COLS)
 
 
 def webify_documents(docs: DataFrame) -> DataFrame:
@@ -217,9 +212,12 @@ def pdf_wrap_row(doc_id: int, text: str, lang: str, source: str) -> dict:
 
 
 def _pdf_wrap_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ocr_award_extractor_spark.functions.batching import records_to_frame
+
     for pdf in batches:
-        yield _columnar([pdf_wrap_row(int(r.doc_id), r.text, r.lang, r.source)
-                         for r in pdf.itertuples(index=False)])
+        yield records_to_frame(
+            [pdf_wrap_row(int(r.doc_id), r.text, r.lang, r.source)
+             for r in pdf.itertuples(index=False)], _PAGE_COLS)
 
 
 def pdfify_documents(docs: DataFrame) -> DataFrame:

@@ -176,12 +176,16 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def verify_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Audit: recompute per-split checksums from data and diff vs lineage."""
+    """Audit: recompute per-split checksums from data and diff vs lineage.
+    NULL-safe comparison: a split present on only ONE side (data deleted
+    after commit, or stray uncommitted data) yields NULLs on the other —
+    a plain != would drop exactly those rows and pass the audit on a
+    dataset missing a whole split."""
     lin = committed_splits(spark, out_dir).select("split_id", "row_count", "checksum")
     actual = _split_checksum_rows(read_committed(spark, out_dir)).withColumnRenamed(
         "row_count", "actual_rows").withColumnRenamed("checksum", "actual_checksum")
     return (
         lin.join(actual, "split_id", "full")
-        .where((F.col("row_count") != F.col("actual_rows"))
-               | (F.col("checksum") != F.col("actual_checksum")))
+        .where(~F.col("row_count").eqNullSafe(F.col("actual_rows"))
+               | ~F.col("checksum").eqNullSafe(F.col("actual_checksum")))
     )

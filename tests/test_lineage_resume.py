@@ -65,11 +65,13 @@ def test_rerun_after_complete_is_noop(spark, tmp_path):
 
 def test_verify_lineage_detects_corruption(spark, tmp_path):
     """The checksum audit must actually DETECT damage (VERDICT r2 #7):
-    corrupt one committed split by dropping a row (row_count mismatch) and
+    corrupt one committed split by dropping a row (row_count mismatch),
     another by altering one document's ocr_text with the row count intact
-    (checksum-only mismatch) — the auditor flags exactly those two splits
-    and nothing else."""
+    (checksum-only mismatch), and DELETE a third outright (the
+    NULL-comparison trap: a plain != audit passes a dataset missing a
+    whole split) — the auditor flags exactly those three splits."""
     import os
+    import shutil
 
     out = str(tmp_path / "run3")
     docs = load_fixture(spark, n_docs=80)
@@ -93,11 +95,15 @@ def test_verify_lineage_detects_corruption(spark, tmp_path):
 
     rewrite_split(2, tamper)
 
+    # split 3: the whole committed split's data vanishes
+    shutil.rmtree(os.path.join(out, "data", "split_id=3"))
+
     bad = {r["split_id"]: r for r in verify_lineage(spark, out).collect()}
-    assert set(bad) == {1, 2}
+    assert set(bad) == {1, 2, 3}
     assert bad[1]["row_count"] != bad[1]["actual_rows"]
     assert bad[2]["row_count"] == bad[2]["actual_rows"]      # count intact
     assert bad[2]["checksum"] != bad[2]["actual_checksum"]   # content caught
+    assert bad[3]["actual_rows"] is None                     # gone entirely
 
 
 def test_real_kill9_and_resume(spark, tmp_path):
