@@ -292,7 +292,12 @@ def _stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(src):
         tmp = src + ".tmp"
         c1, c2 = os.path.join(tmp, "crawl1"), os.path.join(tmp, "crawl2")
+        # stage ONLY the columns the dedup operator reads (url, warc_ts):
+        # the file source's PAGE_SCHEMA null-fills the absent columns
+        # (standard parquet schema evolution), so the staged files carry
+        # ~5% of the page bytes — the html payload never hits disk twice
         webify_documents(load_table(spark, sf_dir, "documents")) \
+            .select("url", "warc_ts") \
             .coalesce(1).write.mode("overwrite").parquet(c1)
         # derive the re-crawl copy from the STAGED crawl1 — not from the
         # lazy webify plan, which would re-run the whole-corpus UDF
