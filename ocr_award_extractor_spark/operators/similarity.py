@@ -246,22 +246,12 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
-                        bands: int | None = None,
-                        rows: int | None = None) -> DataFrame:
-    """Distinct banded-LSH candidate (va, vb) pairs — the pre-scoring
-    stage, exposed separately so bench.py can log candidate counts (the
-    sublinearity evidence) without scoring.
-
-    Shuffle volume: the band self-join moves ONLY (vec_id, band, key) —
-    24 bytes/row, never the vectors; distinct collapses multi-band
-    collisions so each candidate is scored once downstream."""
-    if bands is None or rows is None:
-        bands, rows = _corpus_lsh_params(sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _quant(F.col("embedding")).alias("qe")
-    )
-    keys = lsh_band_keys(emb, bands, rows)
+def _band_collisions(emb_q: DataFrame, bands: int, rows: int) -> DataFrame:
+    """RAW banded collisions (va, vb) — one row per (band, bucket)
+    co-occurrence, duplicates across bands NOT collapsed. The band
+    self-join moves ONLY (vec_id, band, key) — 24 bytes/row, never the
+    vectors."""
+    keys = lsh_band_keys(emb_q, bands, rows)
     a = keys.select(F.col("band").alias("ba"), F.col("key").alias("ka"),
                     F.col("vec_id").alias("va"))
     b = keys.select(F.col("band").alias("bb"), F.col("key").alias("kb"),
@@ -270,7 +260,98 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
         a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ka") == F.col("kb"))
                & (F.col("va") < F.col("vb")))
         .select("va", "vb")
-        .distinct()
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
+                        bands: int | None = None,
+                        rows: int | None = None) -> DataFrame:
+    """Distinct banded-LSH candidate (va, vb) pairs — the pre-scoring
+    stage, exposed separately so bench.py can log candidate counts (the
+    sublinearity evidence) without scoring."""
+    if bands is None or rows is None:
+        bands, rows = _corpus_lsh_params(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _quant(F.col("embedding")).alias("qe")
+    )
+    return _band_collisions(emb, bands, rows).distinct()
+
+
+# Above this corpus size the quantized matrix stops being broadcastable
+# (dim=64 int64 ⇒ ~512 B/vector; 10M vectors ≈ 5 GB) and pair scoring
+# falls back to the two-hash-join spelling below.
+LSH_BROADCAST_SCORE_MAX = 10_000_000
+
+
+def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
+    """Bucket-local near-dup scoring against a BROADCAST quantized-vector
+    matrix — the textbook LSH scale shape: ONE shuffle groups the
+    24-byte (vec_id, band, key) rows into buckets, and every intra-bucket
+    pair is enumerated AND scored inside the Arrow kernel (per-bucket
+    G = A·Aᵀ int64 matmul over ~target-bucket-size members), so candidate
+    pairs never materialize in the plan at all — only ≥threshold
+    survivors cross Arrow out, deduped across bands by the tiny final
+    distinct. (The previous spelling self-joined band keys into millions
+    of 16-byte pair rows and fed them to Python: with the session's
+    fat-html-tuned arrow.maxRecordsPerBatch=256 that meant tens of
+    thousands of Arrow frames and 5-8× the wall time.)
+
+    Arithmetic parity with the join spelling and the DuckDB oracle: the
+    matrix holds the JVM-quantized ``qe`` values (collected, NOT
+    re-quantized — numpy's half-even round differs from Spark's HALF_UP
+    on exact ties), dots/norms are exact int64, and the final
+    cast-divide-sqrt is the identical IEEE sequence — bit-equal results."""
+    import numpy as np
+
+    rows = emb_q.collect()          # bounded by LSH_BROADCAST_SCORE_MAX
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = np.array([r["qe"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    bc = emb_q.sparkSession.sparkContext.broadcast((ids[order], E[order]))
+
+    buckets = (
+        keys.groupBy("band", "key")
+        .agg(F.collect_list("vec_id").alias("members"))
+        .where(F.size("members") >= 2)
+        .select("members")
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        sids, M = bc.value
+        out_a, out_b, out_c = [], [], []
+
+        def flush():
+            va = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            vb = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            cs = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
+            return pd.DataFrame({"va": va, "vb": vb, "cos_sim": cs})
+
+        n_buf = 0
+        for pdf in batches:
+            for members in pdf["members"]:
+                m = np.sort(np.asarray(members, dtype=np.int64))
+                sub = M[np.searchsorted(sids, m)]
+                G = sub @ sub.T                       # exact int64 dots
+                norms = np.diag(G)
+                ia, ib = np.triu_indices(len(m), 1)
+                cos = (G[ia, ib].astype(np.float64)
+                       / np.sqrt((norms[ia] * norms[ib]).astype(np.float64)))
+                keep = cos >= NEARDUP_THRESHOLD
+                if keep.any():
+                    out_a.append(m[ia[keep]])         # m sorted ⇒ va < vb
+                    out_b.append(m[ib[keep]])
+                    out_c.append(cos[keep])
+                    n_buf += int(keep.sum())
+            if n_buf >= (1 << 16):
+                yield flush()
+                out_a, out_b, out_c, n_buf = [], [], [], 0
+        yield flush()
+
+    return (
+        buckets.mapInPandas(kernel, "va BIGINT, vb BIGINT, cos_sim DOUBLE")
+        .distinct()                  # collapse multi-band duplicates
     )
 
 
@@ -280,12 +361,33 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
     (recall ~LSH_TARGET_RECALL at the design threshold by construction;
     measured against the brute-force baseline in bench.py).
 
-    Plan shape: candidate generation (see lsh_candidate_pairs) then two
-    joins fetch the quantized vectors for scoring (broadcast-sized here;
-    hash joins on vec_id at 10⁹ scale — still O(candidates))."""
+    Plan shape — two spellings, bit-identical results:
+
+    * bucket-local (corpus ≤ LSH_BROADCAST_SCORE_MAX vectors): band keys
+      group into buckets (ONE 24-byte-row shuffle) and each bucket's
+      pairs are enumerated and scored inside the Arrow kernel against a
+      broadcast vector matrix — candidate pairs never materialize in the
+      plan (see _score_buckets_broadcast);
+    * join (beyond broadcast): distinct candidates first, then two hash
+      joins fetch the quantized vectors and the exact-int64 HOF fold
+      scores each pair — still O(candidates), no broadcast needed."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quant(F.col("embedding")).alias("qe")
     )
+    if bands is None or rows is None:
+        bands, rows = _corpus_lsh_params(sf_dir)
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    except Exception:
+        n = LSH_BROADCAST_SCORE_MAX + 1
+    if n <= LSH_BROADCAST_SCORE_MAX:
+        keys = lsh_band_keys(emb, bands, rows)
+        return _score_buckets_broadcast(emb, keys)
     cand = lsh_candidate_pairs(spark, sf_dir, bands, rows)
     ea = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
