@@ -154,9 +154,13 @@ def _with_query(spark: SparkSession, sf_dir: str, query_vec_id: int = 0):
             _norm2(F.col("qv")).alias("n2_query"),
         )
     )
-    cos = F.col("dot_q").cast("double") / F.sqrt(
-        (F.col("n2_self") * F.col("n2_query")).cast("double")
-    )
+    # norm product in DOUBLE (each factor < 2⁵³ ⇒ exact, one rounding
+    # either way): immune to int64 overflow, bit-equal otherwise.
+    # try_divide: a zero-norm vector gets cosine NULL (same as DuckDB's
+    # double 0/0) instead of an ANSI DIVIDE_BY_ZERO error
+    cos = F.try_divide(F.col("dot_q").cast("double"), F.sqrt(
+        F.col("n2_self").cast("double") * F.col("n2_query").cast("double")
+    ))
     return scored.select("vec_id", "label", "dot_q", cos.alias("cos_sim"))
 
 
@@ -183,9 +187,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
     pairs = a.join(b, F.col("va") < F.col("vb"))
-    cos = _dot(F.col("ea"), F.col("eb")).cast("double") / F.sqrt(
-        (_norm2(F.col("ea")) * _norm2(F.col("eb"))).cast("double")
-    )
+    # try_divide: zero-norm vectors get cosine NULL (DuckDB's 0/0 is
+    # NULL too), which the threshold drops — excluded on every engine
+    cos = F.try_divide(_dot(F.col("ea"), F.col("eb")).cast("double"), F.sqrt(
+        _norm2(F.col("ea")).cast("double") * _norm2(F.col("eb")).cast("double")
+    ))
     return (
         pairs.select("va", "vb", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
@@ -277,10 +283,37 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
     return _band_collisions(emb, bands, rows).distinct()
 
 
-# Above this corpus size the quantized matrix stops being broadcastable
-# (dim=64 int64 ⇒ ~512 B/vector; 10M vectors ≈ 5 GB) and pair scoring
-# falls back to the two-hash-join spelling below.
-LSH_BROADCAST_SCORE_MAX = 10_000_000
+# Cap for the bucket-local scorer's driver collect + broadcast. Honest
+# sizing (measured, see BENCH.md round-4): the Arrow-columnar collect
+# costs ~525 B/vector of driver heap (raw buffers: 64×8 B values + list
+# offsets + vec_id), the numpy matrix another 512 B/vector, and the
+# broadcast pickle one more transient copy — ~1.6 KB/vector PEAK, so 2M
+# vectors ≈ 3.2 GB transient on an 8 GB driver and ~1 GB resident per
+# executor. (The r3 cap of 10M assumed the 512 B raw matrix only, and
+# the then-Row-object collect actually cost ~50× that — both fixed.)
+LSH_BROADCAST_SCORE_MAX = 2_000_000
+# Live floats per pair-enumeration block inside the kernel: a skewed
+# bucket of k members would otherwise allocate O(k²) at once via
+# triu_indices; blocking bounds the window to ~32 MB whatever k is.
+_PAIR_BLOCK_ELEMS = 1 << 22
+
+
+def _collect_matrix_arrow(emb_q: DataFrame):
+    """Driver-side (ids, matrix) via an Arrow-columnar collect — raw int64
+    buffers, NOT Row objects (2M Rows each holding a 64-element Python
+    list would cost ~50× the matrix; toArrow materializes ~525 B/vector)."""
+    import numpy as np
+
+    tbl = emb_q.select("vec_id", "qe").toArrow()
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    E = (
+        tbl.column("qe").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64, copy=False)
+        .reshape(len(ids), DIM)
+    )
+    order = np.argsort(ids)
+    return ids[order], E[order]
 
 
 def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
@@ -299,15 +332,24 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
     Arithmetic parity with the join spelling and the DuckDB oracle: the
     matrix holds the JVM-quantized ``qe`` values (collected, NOT
     re-quantized — numpy's half-even round differs from Spark's HALF_UP
-    on exact ties), dots/norms are exact int64, and the final
-    cast-divide-sqrt is the identical IEEE sequence — bit-equal results."""
+    on exact ties), dots/norms are exact int64, the norm product is taken
+    in float64 on all three engines (each norm² < 2⁵³ is exactly
+    representable, so the product rounds once either way — identical
+    unless the int64 product would overflow, which the float product
+    additionally survives), and the final divide/sqrt is the identical
+    IEEE sequence — bit-equal results. A zero-norm (all-zero quantized)
+    vector has UNDEFINED cosine, and the parity contract EXCLUDES such
+    pairs on every engine: numpy's 0/0 is NaN which ``>=`` drops, the
+    join spelling masks ``isnan`` explicitly (Spark alone orders NaN
+    above every number, so its bare ``>=`` would keep it), and DuckDB's
+    double 0/0 is NULL which the threshold drops (pinned by
+    tests/test_trainingdata_ops.py::test_lsh_zero_norm_parity)."""
     import numpy as np
 
-    rows = emb_q.collect()          # bounded by LSH_BROADCAST_SCORE_MAX
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    E = np.array([r["qe"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    bc = emb_q.sparkSession.sparkContext.broadcast((ids[order], E[order]))
+    ids_sorted, E_sorted = _collect_matrix_arrow(emb_q)
+    bc = emb_q.sparkSession.sparkContext.broadcast((ids_sorted, E_sorted))
+    pair_block = _PAIR_BLOCK_ELEMS   # captured by value: workers re-import
+    # the module, so a test-side monkeypatch must ride the closure
 
     buckets = (
         keys.groupBy("band", "key")
@@ -333,17 +375,28 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
             for members in pdf["members"]:
                 m = np.sort(np.asarray(members, dtype=np.int64))
                 sub = M[np.searchsorted(sids, m)]
-                G = sub @ sub.T                       # exact int64 dots
-                norms = np.diag(G)
-                ia, ib = np.triu_indices(len(m), 1)
-                cos = (G[ia, ib].astype(np.float64)
-                       / np.sqrt((norms[ia] * norms[ib]).astype(np.float64)))
-                keep = cos >= NEARDUP_THRESHOLD
-                if keep.any():
-                    out_a.append(m[ia[keep]])         # m sorted ⇒ va < vb
-                    out_b.append(m[ib[keep]])
-                    out_c.append(cos[keep])
-                    n_buf += int(keep.sum())
+                # float64 is exact here: every norm² < 2⁵³ (|q|≤~10⁴,
+                # 64 dims ⇒ ≤ 6.4·10⁹), and taking the PRODUCT in float
+                # matches the JVM/DuckDB double-multiply spelling
+                norms = np.einsum("ij,ij->i", sub, sub).astype(np.float64)
+                jj = np.arange(len(m))
+                bs = max(16, pair_block // len(m))
+                for s in range(0, len(m), bs):
+                    e = min(s + bs, len(m))
+                    G = sub[s:e] @ sub.T              # exact int64 dots
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = (G.astype(np.float64)
+                               / np.sqrt(norms[s:e, None] * norms[None, :]))
+                    # NaN (zero-norm member) fails >= — excluded, like
+                    # the join spelling's isnan mask / DuckDB's NULL
+                    keep = (cos >= NEARDUP_THRESHOLD) \
+                        & (jj[None, :] > np.arange(s, e)[:, None])
+                    ri, rj = np.nonzero(keep)
+                    if len(ri):
+                        out_a.append(m[ri + s])       # m sorted ⇒ va < vb
+                        out_b.append(m[rj])
+                        out_c.append(cos[ri, rj])
+                        n_buf += len(ri)
             if n_buf >= (1 << 16):
                 yield flush()
                 out_a, out_b, out_c, n_buf = [], [], [], 0
@@ -356,21 +409,28 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
 
 
 def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
-                      bands: int | None = None, rows: int | None = None) -> DataFrame:
+                      bands: int | None = None, rows: int | None = None,
+                      force_join: bool = False) -> DataFrame:
     """The scale path: near-dup pairs restricted to banded-LSH candidates
     (recall ~LSH_TARGET_RECALL at the design threshold by construction;
     measured against the brute-force baseline in bench.py).
 
-    Plan shape — two spellings, bit-identical results:
+    Plan shape — two spellings, bit-identical results (pinned by
+    tests/test_plan_quality.py::test_lsh_join_fallback_bit_equal, which
+    forces the join spelling on the oracle corpus and asserts row-set
+    equality; NaN contract: zero-norm vectors give cos = NaN, KEPT by
+    both spellings and the oracle — Spark/DuckDB order NaN greatest, the
+    kernel spells ``~(cos < thr)``):
 
     * bucket-local (corpus ≤ LSH_BROADCAST_SCORE_MAX vectors): band keys
       group into buckets (ONE 24-byte-row shuffle) and each bucket's
       pairs are enumerated and scored inside the Arrow kernel against a
       broadcast vector matrix — candidate pairs never materialize in the
       plan (see _score_buckets_broadcast);
-    * join (beyond broadcast): distinct candidates first, then two hash
-      joins fetch the quantized vectors and the exact-int64 HOF fold
-      scores each pair — still O(candidates), no broadcast needed."""
+    * join (beyond broadcast, or ``force_join=True``): distinct
+      candidates first, then two hash joins fetch the quantized vectors
+      and the exact-int64 HOF fold scores each pair — still
+      O(candidates), no broadcast needed."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quant(F.col("embedding")).alias("qe")
     )
@@ -385,16 +445,18 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
             os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
     except Exception:
         n = LSH_BROADCAST_SCORE_MAX + 1
-    if n <= LSH_BROADCAST_SCORE_MAX:
+    if not force_join and n <= LSH_BROADCAST_SCORE_MAX:
         keys = lsh_band_keys(emb, bands, rows)
         return _score_buckets_broadcast(emb, keys)
     cand = lsh_candidate_pairs(spark, sf_dir, bands, rows)
     ea = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
     pairs = cand.join(ea, "va").join(eb, "vb")
-    cos = _dot(F.col("ea"), F.col("eb")).cast("double") / F.sqrt(
-        (_norm2(F.col("ea")) * _norm2(F.col("eb"))).cast("double")
-    )
+    # same zero-norm exclusion as the kernel (see _score_buckets_broadcast
+    # docstring): try_divide makes the undefined cosine NULL, which >= drops
+    cos = F.try_divide(_dot(F.col("ea"), F.col("eb")).cast("double"), F.sqrt(
+        _norm2(F.col("ea")).cast("double") * _norm2(F.col("eb")).cast("double")
+    ))
     return (
         pairs.select("va", "vb", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
@@ -403,9 +465,9 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
 
 def _assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid argmax for any (vec_id, label, qe) frame."""
-    cos_c = _dot(F.col("qe"), F.col("cv")).cast("double") / F.sqrt(
-        (_norm2(F.col("qe")) * _norm2(F.col("cv"))).cast("double")
-    )
+    cos_c = F.try_divide(_dot(F.col("qe"), F.col("cv")).cast("double"), F.sqrt(
+        _norm2(F.col("qe")).cast("double") * _norm2(F.col("cv")).cast("double")
+    ))
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", cos_c.alias("cos_c"), "cid"
     )
@@ -444,19 +506,34 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assign_to_centroids(emb, cent)
 
 
-def ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe (nprobe=1): top-k by cosine to the query (vec_id=0)
-    scanning ONLY the query's centroid cluster — the scale path vs the
-    brute-force ann_topk_cosine baseline. Deterministic, so the DuckDB
-    oracle reproduces the exact candidate set and cut line."""
-    # the QUERY's centroid only needs the query row scored against the K
+def ivf_topk_cosine(spark: SparkSession, sf_dir: str,
+                    nprobe: int = 1) -> DataFrame:
+    """IVF probe: top-k by cosine to the query (vec_id=0) scanning ONLY
+    the clusters of the query's ``nprobe`` nearest centroids — the scale
+    path vs the brute-force ann_topk_cosine baseline. Deterministic, so
+    the DuckDB oracle reproduces the exact candidate set and cut line at
+    the default nprobe=1; recall recovery at nprobe ∈ {1,2,4} is measured
+    in bench.py (the r3 caveat: nprobe=1 overlap fell to 0.4 on the
+    near-dup-saturated x4 corpus — more probes buy it back for a
+    proportional, still cluster-pruned, scan cost)."""
+    # the probe set only needs the query row scored against the K
     # centroids (1×K, not N×K) — computing it separately means the full
     # assignment subtree appears exactly ONCE in the returned plan, with
     # no cache to leak into the session (at 10⁹ vectors the assignment is
     # a materialized table bucketed by centroid instead)
     emb, cent = _emb_and_centroids(spark, sf_dir)
-    qcent = _assign_to_centroids(emb.where(F.col("vec_id") == 0), cent).select(
-        F.col("centroid").alias("qc")
+    q = emb.where(F.col("vec_id") == 0)
+    cos_c = F.try_divide(_dot(F.col("qe"), F.col("cv")).cast("double"), F.sqrt(
+        _norm2(F.col("qe")).cast("double") * _norm2(F.col("cv")).cast("double")
+    ))
+    # rank the K query→centroid scores, keep the top nprobe (at nprobe=1
+    # this is exactly the argmax _assign_to_centroids computes)
+    qcent = (
+        q.crossJoin(F.broadcast(cent))
+        .select(cos_c.alias("cos_c"), "cid")
+        .orderBy(F.col("cos_c").desc(), F.col("cid").asc())
+        .limit(nprobe)
+        .select(F.col("cid").alias("qc"))
     )
     assigned = _assign_to_centroids(emb, cent)
     cand = (
@@ -587,7 +664,7 @@ _IVF_ASSIGN_CTE = f"""
         SELECT vec_id, label, e, cid,
                row_number() OVER (
                    PARTITION BY vec_id
-                   ORDER BY CAST(d AS DOUBLE) / sqrt(CAST(ne * nc AS DOUBLE)) DESC,
+                   ORDER BY CAST(d AS DOUBLE) / sqrt(CAST(ne AS DOUBLE) * CAST(nc AS DOUBLE)) DESC,
                             cid ASC) AS rn
         FROM sc
     ), a1 AS (
@@ -621,9 +698,9 @@ def _lsh_pair_cte(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> str:
             JOIN ev eb ON eb.vec_id = c.vb
         ), neardup AS (
             SELECT va, vb,
-                   CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) AS cos_sim
+                   CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE)) AS cos_sim
             FROM pairs
-            WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE))
+            WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE))
                   >= {NEARDUP_THRESHOLD}
         )
 """
@@ -678,20 +755,20 @@ def oracles_for_scale(sf_dir: str) -> dict[str, str]:
 ORACLES = {
     "cosine_to_query": _Q_CTE + """
         SELECT vec_id, label, dot_q,
-               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self * n2_query AS DOUBLE)) AS cos_sim
+               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self AS DOUBLE) * CAST(n2_query AS DOUBLE)) AS cos_sim
         FROM scored
     """,
     "ann_topk_cosine": _Q_CTE + f"""
         SELECT vec_id, label, dot_q,
-               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self * n2_query AS DOUBLE)) AS cos_sim
+               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self AS DOUBLE) * CAST(n2_query AS DOUBLE)) AS cos_sim
         FROM scored WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
     """,
     "embedding_neardup_pairs": _PAIR_CTE + f"""
         SELECT va, vb,
-               CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) AS cos_sim
+               CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE)) AS cos_sim
         FROM pairs
-        WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a * n2_b AS DOUBLE)) >= {NEARDUP_THRESHOLD}
+        WHERE CAST(dot_ab AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE) * CAST(n2_b AS DOUBLE)) >= {NEARDUP_THRESHOLD}
     """,
     # the bucketed scale path is itself deterministic (same hyperplanes
     # both sides), so the recall-bounded candidate set is exactly
@@ -712,7 +789,7 @@ ORACLES = {
             WHERE a1.cid = qq.qcid AND a1.vec_id <> 0
         )
         SELECT vec_id, label, centroid, dot_q,
-               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self * n2_query AS DOUBLE)) AS cos_sim
+               CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self AS DOUBLE) * CAST(n2_query AS DOUBLE)) AS cos_sim
         FROM scored
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
     """,

@@ -224,3 +224,33 @@ def test_tiered_threshold_evaluated_once(spark):
                                           jumbo_quantile=0.9))
     assert "percentile_approx" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_lsh_join_fallback_bit_equal(spark):
+    """The beyond-broadcast join spelling is the production path above
+    LSH_BROADCAST_SCORE_MAX — no sandbox corpus crosses the cap, so force
+    it and assert its rows (ids AND cos doubles) are bit-equal to the
+    bucket-local kernel's on the oracle-gate corpus."""
+    from ocr_award_extractor_spark.operators.similarity import lsh_neardup_pairs
+
+    sf = "/root/testdata/sf0.01"
+    kernel = {(r["va"], r["vb"], r["cos_sim"])
+              for r in lsh_neardup_pairs(spark, sf).collect()}
+    joined = {(r["va"], r["vb"], r["cos_sim"])
+              for r in lsh_neardup_pairs(spark, sf, force_join=True).collect()}
+    assert kernel and kernel == joined
+
+
+def test_lsh_join_fallback_no_python_scoring(spark):
+    """The fallback plan must score JVM-side: band keys are the only
+    Python stages (the self-join plans the key subtree once per side),
+    pair scoring is codegen'd HOF folds — no third Python stage after
+    the candidate aggregation, no driver collect/broadcast of the
+    matrix."""
+    from ocr_award_extractor_spark.operators.similarity import lsh_neardup_pairs
+
+    plan = _plan(lsh_neardup_pairs(spark, "/root/testdata/sf0.001",
+                                   force_join=True))
+    tree = plan.split("\n\n(1)")[0]   # the operator tree, not the details
+    assert tree.count("MapInPandas") == 2, plan
+    assert "aggregate(zip_with" in plan, plan   # JVM-side pair scoring

@@ -147,3 +147,72 @@ def test_connected_components_long_chain(spark):
     comp = {r["doc_id"]: r["comp"]
             for r in connected_components(docs, edges, max_iters=8).collect()}
     assert set(comp.values()) == {0} and len(comp) == 30
+
+
+@pytest.fixture(scope="module")
+def zero_norm_dir(tmp_path_factory):
+    """40 embeddings: 20 all-zero (undefined cosine) + 20 identical
+    non-zero — every pair collides in some LSH band, so the zero-norm
+    exclusion contract and the blocked pair enumeration both exercise."""
+    d = tmp_path_factory.mktemp("zeronorm")
+    dim = 64
+    rows = [{"vec_id": i, "embedding": [0.0] * dim, "label": 0}
+            for i in range(20)]
+    rows += [{"vec_id": 20 + i, "embedding": [0.5] * dim, "label": 1}
+             for i in range(20)]
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+def test_lsh_zero_norm_parity(spark, zero_norm_dir, monkeypatch):
+    """Zero-norm vectors have UNDEFINED cosine and are excluded from
+    near-dup pairs on EVERY engine (numpy NaN fails >=, Spark masks
+    isnan, DuckDB 0/0 is NULL): both Spark spellings and the DuckDB
+    oracle must return exactly the C(20,2) identical-vector pairs at
+    cos=1.0 and not one zero-norm pair. _PAIR_BLOCK_ELEMS=1 forces the
+    blocked enumeration (bs=16 over 20+-member buckets)."""
+    import duckdb
+
+    from ocr_award_extractor_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_PAIR_BLOCK_ELEMS", 1)
+    kernel = {(r["va"], r["vb"], r["cos_sim"])
+              for r in similarity.lsh_neardup_pairs(spark, zero_norm_dir).collect()}
+    joined = {(r["va"], r["vb"], r["cos_sim"])
+              for r in similarity.lsh_neardup_pairs(
+                  spark, zero_norm_dir, force_join=True).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{zero_norm_dir}/embeddings.parquet'")
+    oracle = {tuple(r) for r in con.execute(
+        similarity.oracles_for_scale(zero_norm_dir)["lsh_neardup_pairs"]
+    ).fetchall()}
+    expect = {(a, b, 1.0) for a in range(20, 40) for b in range(a + 1, 40)}
+    assert kernel == joined == oracle == expect
+
+
+def test_ivf_nprobe_widens_monotonically(spark):
+    """nprobe=1 must equal the default (oracle-pinned) probe; larger
+    nprobe scans a superset of clusters, so brute-force overlap is
+    monotone non-decreasing and nprobe=IVF_K recovers brute force
+    exactly (every cluster probed)."""
+    from ocr_award_extractor_spark.operators.similarity import (
+        IVF_K, ann_topk_cosine, ivf_topk_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    brute = [r["vec_id"] for r in ann_topk_cosine(spark, sf).collect()]
+    p1 = [r["vec_id"] for r in ivf_topk_cosine(spark, sf).collect()]
+    p1x = [r["vec_id"] for r in ivf_topk_cosine(spark, sf, nprobe=1).collect()]
+    assert p1 == p1x
+    prev = len(set(brute) & set(p1))
+    for p in (2, 4, IVF_K):
+        got = [r["vec_id"] for r in ivf_topk_cosine(spark, sf, nprobe=p).collect()]
+        ov = len(set(brute) & set(got))
+        assert ov >= prev
+        prev = ov
+    assert got == brute   # all clusters probed == brute force
