@@ -81,10 +81,30 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Live pair-index elements per enumeration block in the bucket kernel —
+# bounds a skewed bucket's O(k²) allocation (same knob as similarity's).
+_PAIR_BLOCK_ELEMS = 1 << 22
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      force_join: bool = False) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ALL R rows of ANY band.
-    Spelled as explode-to-(band, band-key) → self-equi-join on the bucket →
-    distinct pairs; only bucket collisions shuffle."""
+
+    Default spelling is BUCKET-LOCAL (mirrors similarity's
+    _score_buckets_broadcast, r3 verdict #3): (doc_id, band, key) rows
+    group into buckets with ONE shuffle and each bucket's pairs are
+    enumerated inside the Arrow kernel, then the tiny cross-band distinct.
+    The decisive win over the self-join spelling is that the MinHash
+    SIGNATURE subtree (scan → shingle explode → 16 partial-min aggs — the
+    expensive stage) is planned ONCE; the join duplicates it per side.
+    Skew: a bucket of k members yields k(k-1)/2 pairs under EITHER
+    spelling — blocked enumeration bounds the kernel's live memory, and a
+    pathological all-duplicates corpus should run dedup_exact first (its
+    one fingerprint shuffle collapses exact copies before shingling).
+
+    ``force_join=True`` keeps the classic self-equi-join spelling
+    reachable (bit-equality pinned by
+    tests/test_trainingdata_ops.py::test_minhash_bucket_local_equals_join)."""
     sig = minhash_signature(spark, sf_dir)
     bands = F.array(*[
         F.struct(
@@ -96,13 +116,58 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = sig.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    if force_join:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        return (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .where(F.size("members") >= 2)
+        .select("members")
+    )
+    pair_block = _PAIR_BLOCK_ELEMS   # closure copy: workers re-import the
+    # module, a test-side monkeypatch must ride the serialized function
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        out_a, out_b = [], []
+
+        def flush():
+            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+        n_buf = 0
+        for pdf in batches:
+            for members in pdf["members"]:
+                m = np.sort(np.asarray(members, dtype=np.int64))
+                k = len(m)
+                jj = np.arange(k)
+                bs = max(16, pair_block // k)
+                for s in range(0, k, bs):
+                    e = min(s + bs, k)
+                    ri, rj = np.nonzero(jj[None, :] > np.arange(s, e)[:, None])
+                    if len(ri):
+                        out_a.append(m[ri + s])   # m sorted ⇒ doc_a < doc_b
+                        out_b.append(m[rj])
+                        n_buf += len(ri)
+            if n_buf >= (1 << 16):
+                yield flush()
+                out_a, out_b, n_buf = [], [], 0
+        yield flush()
+
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        buckets.mapInPandas(kernel, "doc_a BIGINT, doc_b BIGINT")
+        .distinct()                  # collapse multi-band duplicates
     )
 
 

@@ -216,3 +216,21 @@ def test_ivf_nprobe_widens_monotonically(spark):
         assert ov >= prev
         prev = ov
     assert got == brute   # all clusters probed == brute force
+
+
+def test_minhash_bucket_local_equals_join(spark, planted_dir, monkeypatch):
+    """The bucket-local MinHash pair kernel must emit EXACTLY the classic
+    self-join spelling's distinct pairs — on the planted corpus and on
+    the oracle-gate corpus; _PAIR_BLOCK_ELEMS=1 forces blocked
+    enumeration through buckets wider than one block."""
+    from ocr_award_extractor_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "_PAIR_BLOCK_ELEMS", 1)
+    for sf in (planted_dir, "/root/testdata/sf0.01"):
+        local = {(r["doc_a"], r["doc_b"])
+                 for r in dedup.minhash_lsh_pairs(spark, sf).collect()}
+        joined = {(r["doc_a"], r["doc_b"])
+                  for r in dedup.minhash_lsh_pairs(
+                      spark, sf, force_join=True).collect()}
+        assert local == joined, sf
+    assert local   # sf0.01 has 25 known pairs — non-vacuous
