@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Staging-cache tag for sf_dir: basename for readability PLUS an
+    md5 of the absolute path — two different sf_dirs sharing a basename
+    in one process must never reuse each other's staged data (ADVICE r3)."""
+    import hashlib
+    import os
+
+    ab = os.path.abspath(sf_dir)
+    return (os.path.basename(ab.rstrip("/"))
+            + "_" + hashlib.md5(ab.encode()).hexdigest()[:8])
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
     from ocr_award_extractor_spark.operators.webify import webify_documents
@@ -88,9 +100,9 @@ def _extract_pipeline_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_award_extractor_spark.operators.webify import webify_documents
     from ocr_award_extractor_spark.sources.tables import load_table
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
     src = os.path.join(
-        tempfile.gettempdir(), f"sparkgraft_tiered_src_{tag}_{os.getpid()}")
+        tempfile.gettempdir(),
+        f"sparkgraft_tiered_src_{_sf_tag(sf_dir)}_{os.getpid()}")
     if not os.path.exists(src):
         webify_documents(load_table(spark, sf_dir, "documents")) \
             .write.mode("overwrite").parquet(src + ".tmp")
@@ -162,7 +174,7 @@ def _resumable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ocr_award_extractor_spark.sources.tables import load_table
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    tag = _sf_tag(sf_dir)
     out_dir = os.path.join(
         tempfile.gettempdir(), f"sparkgraft_commit_{tag}_{os.getpid()}")
     # stage the webified pages as a parquet table ONCE: the per-batch
@@ -188,9 +200,9 @@ def _stream_tmp(sf_dir: str, leg: str) -> str:
     import os
     import tempfile
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
     return os.path.join(
-        tempfile.gettempdir(), f"sparkgraft_stream_{leg}_{tag}_{os.getpid()}")
+        tempfile.gettempdir(),
+        f"sparkgraft_stream_{leg}_{_sf_tag(sf_dir)}_{os.getpid()}")
 
 
 def _streaming_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,8 +260,7 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src, exist_ok=True)
         shutil.copy(os.path.join(sf_dir, "events.parquet"),
                     os.path.join(src, "events.parquet"))
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    name = f"windowed_counts_{tag}"
+    name = f"windowed_counts_{_sf_tag(sf_dir).replace('.', '_')}"
     q = (
         windowed_event_counts(spark, src)
         .writeStream.format("memory").queryName(name)
@@ -259,11 +270,18 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     # materialize ONLY a finished run: a timeout here would snapshot a
-    # partial memory table into the permanent result cache
+    # partial memory table into the permanent result cache. On timeout the
+    # checkpoint is CLEARED (ADVICE r3): a same-process retry would
+    # otherwise resume from the advanced checkpoint, and if zero batches
+    # remained the fresh complete-mode memory table would stay empty.
     if not q.awaitTermination(600):
         q.stop()
+        shutil.rmtree(os.path.join(base, "ck"), ignore_errors=True)
         raise TimeoutError("windowed-counts stream did not finish in 600s")
-    spark.table(name).write.mode("overwrite").parquet(result)
+    # tmp + atomic rename: a crash mid-write must not leave a readable
+    # partial result under the permanent cache path
+    spark.table(name).write.mode("overwrite").parquet(result + ".tmp")
+    os.rename(result + ".tmp", result)
     return spark.read.parquet(result)
 
 
@@ -286,9 +304,7 @@ def _stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _stream_tmp(sf_dir, "dedup")
     src, ck = os.path.join(base, "in"), os.path.join(base, "ck")
-    result = os.path.join(base, "result")
-    if os.path.exists(result):
-        return spark.read.parquet(result)
+    out = os.path.join(base, "out")
     if not os.path.exists(src):
         tmp = src + ".tmp"
         c1, c2 = os.path.join(tmp, "crawl1"), os.path.join(tmp, "crawl2")
@@ -309,12 +325,18 @@ def _stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in os.listdir(d):
                 os.utime(os.path.join(d, f), (t, t))
         os.rename(tmp, src)
-    q = stream_dedup_first_seen(spark, src + "/*", ck, max_files_per_trigger=1)
+    # production sink (r3 verdict #2): batch_id-keyed parquet via the same
+    # make_batch_sink as the extract leg — no driver-side memory sink. A
+    # timeout-then-retry is naturally safe now: completed batches are
+    # already on disk under batch=<id>, the resumed query finishes the
+    # rest, and the union read below sees the full result (the memory-sink
+    # version lost pre-timeout batches on retry — ADVICE r3).
+    q = stream_dedup_first_seen(spark, src + "/*", ck, out,
+                                max_files_per_trigger=1)
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("stateful dedup stream did not finish in 600s")
-    spark.table("dedup_urls").write.mode("overwrite").parquet(result)
-    return spark.read.parquet(result)
+    return spark.read.parquet(out).select("url", "first_ts")
 
 
 def _model_slot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

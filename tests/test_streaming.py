@@ -80,13 +80,16 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     spark.createDataFrame([page("b", 5), page("c", 6), page("d", 7)], cols) \
         .coalesce(1).write.parquet(str(src / "b2"))
 
+    out = str(tmp_path / "out3")
     q = stream_dedup_first_seen(
-        spark, str(src) + "/*", str(tmp_path / "ck3"), max_files_per_trigger=1,
+        spark, str(src) + "/*", str(tmp_path / "ck3"), out,
+        max_files_per_trigger=1,
     )
     q.awaitTermination(300)
     assert q.lastProgress["batchId"] >= 1  # state really crossed batches
 
-    got = {r["url"]: r["first_ts"] for r in spark.table("dedup_urls").collect()}
+    got = {r["url"]: r["first_ts"]
+           for r in spark.read.parquet(out).collect()}
     assert set(got) == {f"https://x.example/{u}" for u in "abcd"}
     # first-seen timestamp wins for the duplicated urls
     assert got["https://x.example/b"] == t0 + timedelta(hours=1)
@@ -187,12 +190,12 @@ def test_stateful_dedup_runs_on_rocksdb_state_store(spark, tmp_path):
 
         q = stream_dedup_first_seen(
             spark, str(src) + "/*", str(tmp_path / "ck"),
-            max_files_per_trigger=1,
+            str(tmp_path / "out"), max_files_per_trigger=1,
         )
         q.awaitTermination(300)
         assert q.lastProgress["batchId"] >= 1   # state crossed batches
         got = {r["url"]: r["first_ts"]
-               for r in spark.table("dedup_urls").collect()}
+               for r in spark.read.parquet(str(tmp_path / "out")).collect()}
         assert set(got) == {f"https://x.example/{u}" for u in "abc"}
         assert got["https://x.example/b"] == t0 + timedelta(hours=1)
     finally:
@@ -251,3 +254,61 @@ def test_stream_checkpoint_incremental_resume(spark, tmp_path):
     urls = [r["url"] for r in final.select("url").collect()]
     assert len(urls) == 120 and len(set(urls)) == 120   # complete, no dupes
     assert q2.lastProgress["numInputRows"] == 120 - n_first  # delta only
+
+
+def test_stateful_dedup_sink_exactly_once_after_crash(spark, tmp_path):
+    """The dedup leg's batch_id-keyed sink under the same post-write /
+    pre-commit crash as the extract case — plus the STATEFUL wrinkle: the
+    replayed batch must re-run against the PRE-batch state-store version
+    (state commits ride the checkpoint), so it re-emits the identical
+    first-seen rows and the overwrite leaves no dupes, while the later
+    batch still sees the state the replay committed."""
+    from datetime import datetime, timedelta
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        stream_dedup_first_seen,
+    )
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    t0 = datetime(2024, 3, 1)
+
+    def page(u, ts_off):
+        return ("https://x.example/" + u, t0 + timedelta(hours=ts_off),
+                b"<html></html>", "", "en")
+
+    cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+    spark.createDataFrame([page("a", 0), page("b", 1)], cols) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame([page("b", 5), page("c", 6)], cols) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    state = {"crashed": False}
+
+    def poison(real_sink):
+        def sink(df, batch_id):
+            real_sink(df, batch_id)        # data fully written...
+            if batch_id == 0 and not state["crashed"]:
+                state["crashed"] = True    # ...then die before the commit
+                raise RuntimeError("injected crash between write and commit")
+        return sink
+
+    q = stream_dedup_first_seen(spark, str(src) + "/*", ck, out,
+                                max_files_per_trigger=1, sink_transform=poison)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+    assert os.path.isdir(os.path.join(out, "batch=0"))   # post-write crash
+
+    q2 = stream_dedup_first_seen(spark, str(src) + "/*", ck, out,
+                                 max_files_per_trigger=1)
+    q2.awaitTermination(300)
+
+    got = {r["url"]: r["first_ts"] for r in spark.read.parquet(out).collect()}
+    urls = [r["url"] for r in spark.read.parquet(out).select("url").collect()]
+    assert len(urls) == len(set(urls)) == 3              # no dupes anywhere
+    assert set(got) == {f"https://x.example/{u}" for u in "abc"}
+    assert got["https://x.example/b"] == t0 + timedelta(hours=1)  # first seen
