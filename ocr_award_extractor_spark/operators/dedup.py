@@ -40,16 +40,20 @@ def _md5_int(col):
 
 
 # ----------------------------------------------------------------- exact
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on the normalized-text fingerprint: one hash shuffle,
-    keeper = min doc_id per group."""
-    docs = load_table(spark, sf_dir, "documents")
+def dedup_exact_df(docs: DataFrame) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint for any
+    (doc_id, text) frame: one hash shuffle, keeper = min doc_id per group."""
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return (
         docs.select(F.md5(norm).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
     )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact_df over the driver documents table (oracle slot)."""
+    return dedup_exact_df(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------- shingles
@@ -70,10 +74,11 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: K permutation-mins per doc. explode → groupBy
-    with K partial-min aggregates (combines map-side)."""
-    sh = _shingles(load_table(spark, sf_dir, "documents"))
+def minhash_signature_df(docs: DataFrame) -> DataFrame:
+    """MinHash signatures for any (doc_id, text) frame: K permutation-mins
+    per doc. explode → groupBy with K partial-min aggregates (combines
+    map-side)."""
+    sh = _shingles(docs)
     aggs = [
         F.min((F.lit(_MH_A[j]) * F.col("v") + F.lit(_MH_B_[j])) % F.lit(MH_P)).alias(f"s{j}")
         for j in range(MH_K)
@@ -81,13 +86,18 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_signature_df over the driver documents table (oracle slot)."""
+    return minhash_signature_df(load_table(spark, sf_dir, "documents"))
+
+
 # Live pair-index elements per enumeration block in the bucket kernel —
 # bounds a skewed bucket's O(k²) allocation (same knob as similarity's).
 _PAIR_BLOCK_ELEMS = 1 << 22
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
-                      force_join: bool = False) -> DataFrame:
+def minhash_lsh_pairs_df(docs: DataFrame,
+                         force_join: bool = False) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ALL R rows of ANY band.
 
     Default spelling is BUCKET-LOCAL (mirrors similarity's
@@ -105,7 +115,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     ``force_join=True`` keeps the classic self-equi-join spelling
     reachable (bit-equality pinned by
     tests/test_trainingdata_ops.py::test_minhash_bucket_local_equals_join)."""
-    sig = minhash_signature(spark, sf_dir)
+    sig = minhash_signature_df(docs)
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -171,6 +181,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      force_join: bool = False) -> DataFrame:
+    """minhash_lsh_pairs_df over the driver documents table (oracle slot)."""
+    return minhash_lsh_pairs_df(load_table(spark, sf_dir, "documents"),
+                                force_join=force_join)
+
+
 CC_MAX_ITERS = 20
 
 
@@ -189,12 +206,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same primitives scale (two checkpointed joins per round); the
     alternating large-star/small-star formulation is the classic
     equivalent if round count ever matters more than per-round cost."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return dedup_clusters_df(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_clusters_df(docs: DataFrame) -> DataFrame:
+    """dedup_clusters for any (doc_id, text) frame."""
+    pairs = minhash_lsh_pairs_df(docs)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    return connected_components(docs, edges)
+    return connected_components(docs.select("doc_id"), edges)
 
 
 def connected_components(docs: DataFrame, edges: DataFrame,

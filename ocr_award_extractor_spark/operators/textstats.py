@@ -158,14 +158,13 @@ SAMPLE_RATES = {"en": 50, "zh": 30, "de": 20, "fr": 20, "es": 10}
 SAMPLE_DEFAULT_RATE = 5
 
 
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic stratified sampling: keep a doc iff
-    md5(doc_id)-derived uniform bucket < the language's rate. Unlike
-    DataFrame.sample() this is REPRODUCIBLE across runs, partitionings,
-    and engines (the gate is a pure function of the row), which is what a
-    100 TB pipeline needs for auditable subsets; it is also a pure scan
-    filter — no shuffle, prunes at the source."""
-    docs = load_table(spark, sf_dir, "documents")
+def stratified_sample_df(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling for any (doc_id, lang) frame:
+    keep a doc iff md5(doc_id)-derived uniform bucket < the language's
+    rate. Unlike DataFrame.sample() this is REPRODUCIBLE across runs,
+    partitionings, and engines (the gate is a pure function of the row),
+    which is what a 100 TB pipeline needs for auditable subsets; it is
+    also a pure scan filter — no shuffle, prunes at the source."""
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
                     16, 10).cast("long") % 100
     rate = F.lit(SAMPLE_DEFAULT_RATE)
@@ -175,6 +174,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(bucket < rate)
         .select("doc_id", "lang", bucket.cast("long").alias("bucket"))
     )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stratified_sample_df over the driver documents table (oracle slot)."""
+    return stratified_sample_df(load_table(spark, sf_dir, "documents"))
 
 
 # PII patterns — identical semantics under Java regex (Spark) and RE2
@@ -245,13 +249,13 @@ GOPHER_MIN_STOP_HITS = 1
 GOPHER_MAX_DUP_FRAC = 0.6
 
 
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rule document gating: word-count bounds, mean-word-length
-    band, punctuation ratio, minimum stopword evidence, duplicate-token
-    fraction — each as an explicit flag plus the conjunction (`keep`).
-    One projection, zero shuffle, all JVM-side; ratios divide exact ints
-    so flags are bit-identical across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+def gopher_quality_flags_df(docs: DataFrame) -> DataFrame:
+    """Gopher-rule document gating for any (doc_id, text) frame:
+    word-count bounds, mean-word-length band, punctuation ratio, minimum
+    stopword evidence, duplicate-token fraction — each as an explicit
+    flag plus the conjunction (`keep`). One projection, zero shuffle, all
+    JVM-side; ratios divide exact ints so flags are bit-identical across
+    engines."""
     docs = docs.select(
         "doc_id",
         F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks"),
@@ -283,6 +287,12 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gopher_quality_flags_df over the driver documents table (oracle
+    slot)."""
+    return gopher_quality_flags_df(load_table(spark, sf_dir, "documents"))
 
 
 C4_MIN_SENT_WORDS = 3

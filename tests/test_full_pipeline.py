@@ -1,0 +1,76 @@
+"""The full-stack rehearsal (plans/full_pipeline.py) on a PLANTED corpus
+where every stage provably does work: a gate-failing spam doc, an exact
+duplicate pair, and a near-duplicate — each must fall out at exactly its
+stage, and the lineage audit must pass."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+# doc_ids avoid webify's CJK award injection (doc_id % 10 == 3) so the
+# extracted text is exactly the chunked original
+BASE = ["the", "and"] + [f"alpha{i}bet" for i in range(58)]   # 60 words
+DOCS = [
+    (0, " ".join(BASE)),                                # keeper
+    (1, " ".join(BASE)),                                # exact dup of 0
+    (2, " ".join(BASE[:-2] + ["zulu", "zebra"])),       # near-dup of 0
+    (4, " ".join(["spam"] * 50)),                       # fails ok_dup gate
+]
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.plans.full_pipeline import (
+        run_training_data_pipeline,
+    )
+
+    d = tmp_path_factory.mktemp("fullpipe")
+    rows = [{"doc_id": i, "text": t, "lang": "en", "source": f"s{i}",
+             "n_chars": len(t)} for i, t in DOCS]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(d, "documents.parquet"))
+    pages_dir = str(d / "pages")
+    webify_documents(spark.read.parquet(
+        os.path.join(d, "documents.parquet"))) \
+        .write.parquet(pages_dir)
+    out_dir = str(d / "out")
+    summary = run_training_data_pipeline(
+        spark, spark.read.parquet(pages_dir), out_dir, "pytest",
+        n_splits=2, n_batches=1)
+    return summary, out_dir
+
+
+def test_stage_rowcounts_tell_the_planted_story(pipeline_run):
+    rows = pipeline_run[0]["rows"]
+    assert rows["pages"] == rows["extracted"] == 4   # all extract cleanly
+    assert rows["gated"] == 3          # spam doc fails the dup-frac gate
+    assert rows["exact_unique"] == 2   # docs 0/1 collapse to one keeper
+    assert rows["neardup_unique"] == 1  # near-dup 2 clusters with the keeper
+    assert rows["sampled"] <= rows["neardup_unique"]
+
+
+def test_stage_outputs_are_staged_tables(pipeline_run, spark):
+    """Every stage hand-off is a readable parquet table whose row count
+    matches the reported stats — staging IS the contract, so a stage that
+    silently recomputed upstream work instead of reading its input table
+    would show up here."""
+    summary, out_dir = pipeline_run
+    expected = {
+        "docs": summary["rows"]["extracted"],
+        "gated": summary["rows"]["gated"],
+        "exact_dedup": summary["rows"]["exact_unique"],
+        "neardup_dedup": summary["rows"]["neardup_unique"],
+        "sample": summary["rows"]["sampled"],
+    }
+    for sub, n in expected.items():
+        got = spark.read.parquet(os.path.join(out_dir, sub)).count()
+        assert got == n, (sub, got, n)
+    # stage chain is monotone non-increasing after extraction
+    seq = [summary["rows"][k] for k in
+           ("extracted", "gated", "exact_unique", "neardup_unique", "sampled")]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
