@@ -276,7 +276,15 @@ def run_approx_quality(spark) -> dict:
         got = {(r["va"], r["vb"])
                for r in lsh_neardup_pairs(spark, sf_dir).collect()}
         ann = [r["vec_id"] for r in ann_topk_cosine(spark, sf_dir).collect()]
-        ivf = [r["vec_id"] for r in ivf_topk_cosine(spark, sf_dir).collect()]
+        # nprobe recall recovery (r3 verdict #4): overlap vs brute-force
+        # top-k as the probe widens — nprobe=1 is the default oracle path
+        ivf_overlap = {}
+        for p in (1, 2, 4):
+            got_p = [r["vec_id"]
+                     for r in ivf_topk_cosine(spark, sf_dir, nprobe=p).collect()]
+            ivf_overlap[p] = round(len(set(ann) & set(got_p)) / TOP_K, 3)
+        ivf = [r["vec_id"]
+               for r in ivf_topk_cosine(spark, sf_dir).collect()]
         # measured prune at the PRODUCTION threshold: a (B,R) design for
         # cos≥0.9 (BENCH.md's ~10⁻⁵-of-pairs claim was analytic only —
         # this logs the measured fraction at each corpus size; the
@@ -304,6 +312,7 @@ def run_approx_quality(spark) -> dict:
             "lsh_recall": round(len(got & true) / max(1, len(true)), 4),
             "lsh_false_pairs": len(got - true),
             "ivf_topk_overlap": round(len(set(ann) & set(ivf)) / TOP_K, 3),
+            "ivf_topk_overlap_by_nprobe": ivf_overlap,
             "strict_cos090_design": {
                 "bands": b9, "rows": r9, "candidate_pairs": n_cand9,
                 "candidate_frac_of_all_pairs":
@@ -396,6 +405,38 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         log(f"  {name}: {rows} rows in {timings[name]}s")
 
+    # beyond-broadcast LSH join fallback — the production spelling above
+    # LSH_BROADCAST_SCORE_MAX, forced so the round records a measured
+    # timing for it (r3 verdict #1), not just the bit-equality pytest
+    from ocr_award_extractor_spark.operators.similarity import lsh_neardup_pairs
+
+    t0 = time.monotonic()
+    n_fb = lsh_neardup_pairs(spark, SF_DIR, force_join=True).count()
+    timings["lsh_neardup_pairs_join_fallback"] = round(time.monotonic() - t0, 3)
+    log(f"  lsh_neardup_pairs_join_fallback: {n_fb} rows "
+        f"in {timings['lsh_neardup_pairs_join_fallback']}s")
+
+    # full-stack rehearsal (r3 verdict #6): the composed training-data
+    # pipeline over the bench corpus — extract+commit → gates → exact
+    # dedup → LSH clusters → sample → lineage audit, per-stage stats
+    import shutil
+    import tempfile
+
+    from ocr_award_extractor_spark.plans.full_pipeline import (
+        run_training_data_pipeline,
+    )
+
+    rh_dir = tempfile.mkdtemp(prefix="bench_rehearsal_")
+    try:
+        rehearsal = run_training_data_pipeline(
+            spark, spark.read.parquet(pages_path), rh_dir, "bench",
+            n_splits=64, n_batches=8)
+    finally:
+        shutil.rmtree(rh_dir, ignore_errors=True)
+    timings["full_pipeline_rehearsal"] = rehearsal["total_sec"]
+    log(f"  full_pipeline_rehearsal: {rehearsal['rows']} "
+        f"in {rehearsal['total_sec']}s")
+
     approx = run_approx_quality(spark)
     spark.stop()
 
@@ -410,6 +451,7 @@ def main() -> None:
         "docs_per_sec": round(n_docs / timings["extract_pipeline"], 1),
         "scaling": scaling,
         "approx_quality": approx,
+        "rehearsal": rehearsal,
     }
     print(json.dumps(result))
 
