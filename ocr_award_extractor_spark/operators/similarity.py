@@ -199,9 +199,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_band_keys(emb_q: DataFrame, bands: int = LSH_BANDS,
-                  rows: int = LSH_ROWS) -> DataFrame:
+                  rows: int = LSH_ROWS, with_vec: bool = False) -> DataFrame:
     """(vec_id, band, key) for any (vec_id, qe) frame: sign bit per plane,
-    R bits packed into the band's bucket key.
+    R bits packed into the band's bucket key. ``with_vec=True`` appends
+    the quantized vector itself to every emitted row (still map-side —
+    the duplication cost is paid by the DOWNSTREAM shuffle, which is the
+    point of the shuffled-vectors scorer: B×n rows of ~536 B each, no
+    driver state).
 
     Arrow-batched numpy kernel: the whole batch's sign bits are ONE exact
     int64 matmul (E @ Wᵀ > 0; |e|≤10⁴·|w|≤10³·64 dims keeps every product
@@ -227,13 +231,25 @@ def lsh_band_keys(emb_q: DataFrame, bands: int = LSH_BANDS,
             E = np.stack(pdf["qe"].to_numpy())      # (m, DIM) int64
             bits = (E.astype(np.int64) @ W.T > 0).astype(np.int64)
             keys = bits.reshape(len(E), bands, rows) @ pack   # (m, B)
-            yield pd.DataFrame({
+            out = {
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
                 "band": np.tile(np.arange(bands, dtype=np.int32), len(E)),
                 "key": keys.ravel(),
-            })
+            }
+            if with_vec:
+                # PACKED binary, not array<bigint>: the downstream kernel
+                # reassembles whole buckets with ONE np.frombuffer — an
+                # array column would round-trip 64 Python ints per member
+                # (measured ~12 µs/row of pure conversion overhead)
+                qe_bin = [row.tobytes() for row in E.astype(np.int64)]
+                out["qe_bin"] = np.repeat(
+                    np.array(qe_bin, dtype=object), bands)
+            yield pd.DataFrame(out)
 
-    return emb_q.mapInPandas(kernel, "vec_id BIGINT, band INT, key BIGINT")
+    schema = "vec_id BIGINT, band INT, key BIGINT"
+    if with_vec:
+        schema += ", qe_bin BINARY"
+    return emb_q.mapInPandas(kernel, schema)
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,6 +312,40 @@ LSH_BROADCAST_SCORE_MAX = 2_000_000
 # bucket of k members would otherwise allocate O(k²) at once via
 # triu_indices; blocking bounds the window to ~32 MB whatever k is.
 _PAIR_BLOCK_ELEMS = 1 << 22
+
+
+def _score_one_bucket(m, sub, pair_block):
+    """Blocked ≥threshold pair scoring for ONE bucket: ``m`` sorted int64
+    ids (k,), ``sub`` their (k, DIM) int64 quantized vectors. Returns
+    (va, vb, cos) survivor arrays. The SINGLE spelling of the kernel-side
+    arithmetic parity contract (see _score_buckets_broadcast docstring),
+    shared by the broadcast and shuffled-vectors scorers; blocks bound
+    live memory to ~pair_block floats for any bucket size."""
+    import numpy as np
+
+    # float64 is exact here: every norm² < 2⁵³ (|q|≤~10⁴, 64 dims ⇒
+    # ≤ 6.4·10⁹), and taking the PRODUCT in float matches the
+    # JVM/DuckDB double-multiply spelling
+    norms = np.einsum("ij,ij->i", sub, sub).astype(np.float64)
+    k = len(m)
+    jj = np.arange(k)
+    bs = max(16, pair_block // k)
+    va, vb, cs = [], [], []
+    for s0 in range(0, k, bs):
+        e = min(s0 + bs, k)
+        G = sub[s0:e] @ sub.T                     # exact int64 dots
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (G.astype(np.float64)
+                   / np.sqrt(norms[s0:e, None] * norms[None, :]))
+        # NaN (zero-norm member) fails >= — excluded, like the join
+        # spelling's try_divide NULL / DuckDB's NULL
+        keep = (cos >= NEARDUP_THRESHOLD)             & (jj[None, :] > np.arange(s0, e)[:, None])
+        ri, rj = np.nonzero(keep)
+        if len(ri):
+            va.append(m[ri + s0])                 # m sorted ⇒ va < vb
+            vb.append(m[rj])
+            cs.append(cos[ri, rj])
+    return va, vb, cs
 
 
 def _collect_matrix_arrow(emb_q: DataFrame):
@@ -375,28 +425,74 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
             for members in pdf["members"]:
                 m = np.sort(np.asarray(members, dtype=np.int64))
                 sub = M[np.searchsorted(sids, m)]
-                # float64 is exact here: every norm² < 2⁵³ (|q|≤~10⁴,
-                # 64 dims ⇒ ≤ 6.4·10⁹), and taking the PRODUCT in float
-                # matches the JVM/DuckDB double-multiply spelling
-                norms = np.einsum("ij,ij->i", sub, sub).astype(np.float64)
-                jj = np.arange(len(m))
-                bs = max(16, pair_block // len(m))
-                for s in range(0, len(m), bs):
-                    e = min(s + bs, len(m))
-                    G = sub[s:e] @ sub.T              # exact int64 dots
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = (G.astype(np.float64)
-                               / np.sqrt(norms[s:e, None] * norms[None, :]))
-                    # NaN (zero-norm member) fails >= — excluded, like
-                    # the join spelling's isnan mask / DuckDB's NULL
-                    keep = (cos >= NEARDUP_THRESHOLD) \
-                        & (jj[None, :] > np.arange(s, e)[:, None])
-                    ri, rj = np.nonzero(keep)
-                    if len(ri):
-                        out_a.append(m[ri + s])       # m sorted ⇒ va < vb
-                        out_b.append(m[rj])
-                        out_c.append(cos[ri, rj])
-                        n_buf += len(ri)
+                va, vb, cs = _score_one_bucket(m, sub, pair_block)
+                out_a += va
+                out_b += vb
+                out_c += cs
+                n_buf += sum(len(x) for x in va)
+            if n_buf >= (1 << 16):
+                yield flush()
+                out_a, out_b, out_c, n_buf = [], [], [], 0
+        yield flush()
+
+    return (
+        buckets.mapInPandas(kernel, "va BIGINT, vb BIGINT, cos_sim DOUBLE")
+        .distinct()                  # collapse multi-band duplicates
+    )
+
+
+def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Bucket-local scoring BEYOND broadcast size — the 10⁹-vector
+    production shape: the quantized vectors RIDE the band shuffle
+    (collect_list of (vec_id, qe) structs per bucket) instead of a driver
+    collect + broadcast, so there is NO driver state and candidate pairs
+    still never materialize. Cost model vs the alternatives: ONE shuffle
+    of B×n rows at ~536 B each (vector + key), versus the join spelling's
+    candidate materialization + two vector-fetch hash joins; per-bucket
+    executor memory is O(m·dim), which lsh_params pins at E[m] =
+    LSH_TARGET_BUCKET — an adversarial mega-bucket (exact-dup flood)
+    should be exact-deduped first, same contract as the MinHash side.
+    Arithmetic is the SAME _score_one_bucket kernel as the broadcast
+    spelling — bit-equal by construction."""
+    import numpy as np
+
+    keys = lsh_band_keys(emb_q, bands, rows, with_vec=True)
+    buckets = (
+        keys.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("vec_id", "qe_bin")).alias("members"))
+        .where(F.size("members") >= 2)
+        .select("members")
+    )
+    pair_block = _PAIR_BLOCK_ELEMS   # closure copy (workers re-import)
+
+    def kernel(batches):
+        import pandas as pd
+
+        out_a, out_b, out_c = [], [], []
+
+        def flush():
+            va = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+            vb = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            cs = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
+            return pd.DataFrame({"va": va, "vb": vb, "cos_sim": cs})
+
+        n_buf = 0
+        for pdf in batches:
+            for members in pdf["members"]:
+                ids = np.fromiter((mm["vec_id"] for mm in members),
+                                  dtype=np.int64, count=len(members))
+                # one frombuffer for the whole bucket (native-endian
+                # int64 both sides — packed by lsh_band_keys above)
+                E = np.frombuffer(
+                    b"".join(mm["qe_bin"] for mm in members),
+                    dtype=np.int64).reshape(len(ids), DIM)
+                order = np.argsort(ids)
+                va, vb, cs = _score_one_bucket(ids[order], E[order],
+                                               pair_block)
+                out_a += va
+                out_b += vb
+                out_c += cs
+                n_buf += sum(len(x) for x in va)
             if n_buf >= (1 << 16):
                 yield flush()
                 out_a, out_b, out_c, n_buf = [], [], [], 0
@@ -410,44 +506,50 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
 
 def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
                       bands: int | None = None, rows: int | None = None,
-                      force_join: bool = False) -> DataFrame:
+                      spelling: str = "auto") -> DataFrame:
     """The scale path: near-dup pairs restricted to banded-LSH candidates
     (recall ~LSH_TARGET_RECALL at the design threshold by construction;
     measured against the brute-force baseline in bench.py).
 
-    Plan shape — two spellings, bit-identical results (pinned by
-    tests/test_plan_quality.py::test_lsh_join_fallback_bit_equal, which
-    forces the join spelling on the oracle corpus and asserts row-set
-    equality; NaN contract: zero-norm vectors give cos = NaN, KEPT by
-    both spellings and the oracle — Spark/DuckDB order NaN greatest, the
-    kernel spells ``~(cos < thr)``):
+    THREE spellings, bit-identical results (three-way equality pinned by
+    tests/test_plan_quality.py::test_lsh_spellings_bit_equal; zero-norm
+    contract: undefined cosines are EXCLUDED on every engine — kernel NaN
+    fails >=, JVM try_divide yields NULL, DuckDB 0/0 is NULL — see
+    _score_buckets_broadcast):
 
-    * bucket-local (corpus ≤ LSH_BROADCAST_SCORE_MAX vectors): band keys
-      group into buckets (ONE 24-byte-row shuffle) and each bucket's
-      pairs are enumerated and scored inside the Arrow kernel against a
-      broadcast vector matrix — candidate pairs never materialize in the
-      plan (see _score_buckets_broadcast);
-    * join (beyond broadcast, or ``force_join=True``): distinct
-      candidates first, then two hash joins fetch the quantized vectors
-      and the exact-int64 HOF fold scores each pair — still
-      O(candidates), no broadcast needed."""
+    * ``broadcast`` (auto when corpus ≤ LSH_BROADCAST_SCORE_MAX): band
+      keys group into buckets (ONE 24-byte-row shuffle), pairs enumerated
+      and scored in-kernel against a broadcast vector matrix;
+    * ``shuffled`` (auto beyond the cap): same in-kernel scoring but the
+      vectors ride the band shuffle — no driver state, the 10⁹-vector
+      shape (see _score_buckets_shuffled);
+    * ``join``: distinct candidates first, then two hash joins fetch the
+      quantized vectors and the exact-int64 HOF fold scores each pair —
+      kept as the all-JVM reference spelling and measured in bench.py."""
+    if spelling not in ("auto", "broadcast", "shuffled", "join"):
+        raise ValueError(f"unknown spelling: {spelling}")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _quant(F.col("embedding")).alias("qe")
     )
     if bands is None or rows is None:
         bands, rows = _corpus_lsh_params(sf_dir)
-    try:
-        import os
+    if spelling == "auto":
+        try:
+            import os
 
-        import pyarrow.parquet as pq
+            import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(
-            os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
-    except Exception:
-        n = LSH_BROADCAST_SCORE_MAX + 1
-    if not force_join and n <= LSH_BROADCAST_SCORE_MAX:
+            n = pq.ParquetFile(
+                os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+        except Exception:
+            n = LSH_BROADCAST_SCORE_MAX + 1
+        spelling = ("broadcast" if n <= LSH_BROADCAST_SCORE_MAX
+                    else "shuffled")
+    if spelling == "broadcast":
         keys = lsh_band_keys(emb, bands, rows)
         return _score_buckets_broadcast(emb, keys)
+    if spelling == "shuffled":
+        return _score_buckets_shuffled(emb, bands, rows)
     cand = lsh_candidate_pairs(spark, sf_dir, bands, rows)
     ea = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))

@@ -226,31 +226,49 @@ def test_tiered_threshold_evaluated_once(spark):
     assert "Join" not in plan, plan
 
 
-def test_lsh_join_fallback_bit_equal(spark):
-    """The beyond-broadcast join spelling is the production path above
-    LSH_BROADCAST_SCORE_MAX — no sandbox corpus crosses the cap, so force
-    it and assert its rows (ids AND cos doubles) are bit-equal to the
-    bucket-local kernel's on the oracle-gate corpus."""
+def test_lsh_spellings_bit_equal(spark):
+    """All THREE near-dup spellings must return identical rows (ids AND
+    cos doubles) on the oracle-gate corpus: the broadcast kernel (the
+    ≤cap default), the shuffled-vectors kernel (the beyond-cap production
+    path — no sandbox corpus crosses the cap, so forced here), and the
+    all-JVM join reference."""
     from ocr_award_extractor_spark.operators.similarity import lsh_neardup_pairs
 
     sf = "/root/testdata/sf0.01"
-    kernel = {(r["va"], r["vb"], r["cos_sim"])
-              for r in lsh_neardup_pairs(spark, sf).collect()}
-    joined = {(r["va"], r["vb"], r["cos_sim"])
-              for r in lsh_neardup_pairs(spark, sf, force_join=True).collect()}
-    assert kernel and kernel == joined
+    got = {
+        sp: {(r["va"], r["vb"], r["cos_sim"])
+             for r in lsh_neardup_pairs(spark, sf, spelling=sp).collect()}
+        for sp in ("broadcast", "shuffled", "join")
+    }
+    assert got["broadcast"] and got["broadcast"] == got["shuffled"] == got["join"]
 
 
 def test_lsh_join_fallback_no_python_scoring(spark):
-    """The fallback plan must score JVM-side: band keys are the only
-    Python stages (the self-join plans the key subtree once per side),
-    pair scoring is codegen'd HOF folds — no third Python stage after
-    the candidate aggregation, no driver collect/broadcast of the
+    """The join reference spelling must score JVM-side: band keys are the
+    only Python stages (the self-join plans the key subtree once per
+    side), pair scoring is codegen'd HOF folds — no third Python stage
+    after the candidate aggregation, no driver collect/broadcast of the
     matrix."""
     from ocr_award_extractor_spark.operators.similarity import lsh_neardup_pairs
 
     plan = _plan(lsh_neardup_pairs(spark, "/root/testdata/sf0.001",
-                                   force_join=True))
+                                   spelling="join"))
     tree = plan.split("\n\n(1)")[0]   # the operator tree, not the details
     assert tree.count("MapInPandas") == 2, plan
     assert "aggregate(zip_with" in plan, plan   # JVM-side pair scoring
+
+
+def test_lsh_shuffled_spelling_single_shuffle_no_driver_state(spark):
+    """The shuffled-vectors spelling (beyond-broadcast production shape)
+    must plan as: map-side band keys (one Python stage) → ONE exchange
+    into buckets → in-kernel scoring (second Python stage) — no joins at
+    all, vectors riding the single shuffle."""
+    from ocr_award_extractor_spark.operators.similarity import lsh_neardup_pairs
+
+    plan = _plan(lsh_neardup_pairs(spark, "/root/testdata/sf0.001",
+                                   spelling="shuffled"))
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("MapInPandas") == 2, plan   # keys + scoring kernels
+    assert "Join" not in tree, plan
+    # exactly one data exchange below the final distinct's
+    assert tree.count("Exchange") == 2, plan      # bucket agg + distinct

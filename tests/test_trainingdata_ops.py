@@ -182,9 +182,12 @@ def test_lsh_zero_norm_parity(spark, zero_norm_dir, monkeypatch):
     monkeypatch.setattr(similarity, "_PAIR_BLOCK_ELEMS", 1)
     kernel = {(r["va"], r["vb"], r["cos_sim"])
               for r in similarity.lsh_neardup_pairs(spark, zero_norm_dir).collect()}
+    shuffled = {(r["va"], r["vb"], r["cos_sim"])
+                for r in similarity.lsh_neardup_pairs(
+                    spark, zero_norm_dir, spelling="shuffled").collect()}
     joined = {(r["va"], r["vb"], r["cos_sim"])
               for r in similarity.lsh_neardup_pairs(
-                  spark, zero_norm_dir, force_join=True).collect()}
+                  spark, zero_norm_dir, spelling="join").collect()}
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"'{zero_norm_dir}/embeddings.parquet'")
@@ -192,7 +195,7 @@ def test_lsh_zero_norm_parity(spark, zero_norm_dir, monkeypatch):
         similarity.oracles_for_scale(zero_norm_dir)["lsh_neardup_pairs"]
     ).fetchall()}
     expect = {(a, b, 1.0) for a in range(20, 40) for b in range(a + 1, 40)}
-    assert kernel == joined == oracle == expect
+    assert kernel == shuffled == joined == oracle == expect
 
 
 def test_ivf_nprobe_widens_monotonically(spark):
