@@ -183,8 +183,12 @@ def _resumable_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (production input is a real table — this mirrors that shape)
     src = os.path.join(out_dir + "_src")
     if not os.path.exists(src):
+        # tmp + atomic rename (round-4 review): an interrupted staging
+        # write must not leave a PARTIAL src that a retry would commit
+        # (with valid lineage checksums!) as the complete corpus
         webify_documents(load_table(spark, sf_dir, "documents")) \
-            .write.mode("overwrite").parquet(src)
+            .write.mode("overwrite").parquet(src + ".tmp")
+        os.rename(src + ".tmp", src)
     pages = spark.read.parquet(src)
     # idempotent per process+sf: a second construction resumes over a
     # fully-committed dir and writes nothing
@@ -222,8 +226,11 @@ def _streaming_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _stream_tmp(sf_dir, "extract")
     src, ck, out = (os.path.join(base, d) for d in ("in", "ck", "out"))
     if not os.path.exists(src):
+        # tmp + atomic rename: a partial staged corpus must never become
+        # the stream's visible input (round-4 review)
         webify_documents(load_table(spark, sf_dir, "documents")) \
-            .write.mode("overwrite").parquet(src)
+            .write.mode("overwrite").parquet(src + ".tmp")
+        os.rename(src + ".tmp", src)
     q = stream_extract(spark, src, ck, out)
     if not q.awaitTermination(600):
         q.stop()
@@ -261,27 +268,33 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(os.path.join(sf_dir, "events.parquet"),
                     os.path.join(src, "events.parquet"))
     name = f"windowed_counts_{_sf_tag(sf_dir).replace('.', '_')}"
-    q = (
-        windowed_event_counts(spark, src)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(base, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    # materialize ONLY a finished run: a timeout here would snapshot a
-    # partial memory table into the permanent result cache. On timeout the
-    # checkpoint is CLEARED (ADVICE r3): a same-process retry would
-    # otherwise resume from the advanced checkpoint, and if zero batches
-    # remained the fresh complete-mode memory table would stay empty.
-    if not q.awaitTermination(600):
-        q.stop()
+    # ANY failure between start and the atomic result rename clears the
+    # checkpoint (ADVICE r3, widened per round-4 review): a same-process
+    # retry over an advanced checkpoint with no cached result would run
+    # zero batches and permanently cache the EMPTY complete-mode memory
+    # table. This covers timeouts AND StreamingQueryException AND a
+    # failed materialization write equally.
+    try:
+        q = (
+            windowed_event_counts(spark, src)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(base, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "windowed-counts stream did not finish in 600s")
+        # materialize ONLY a finished run, via tmp + atomic rename: a
+        # crash mid-write must not leave a readable partial result under
+        # the permanent cache path
+        spark.table(name).write.mode("overwrite").parquet(result + ".tmp")
+        os.rename(result + ".tmp", result)
+    except BaseException:
         shutil.rmtree(os.path.join(base, "ck"), ignore_errors=True)
-        raise TimeoutError("windowed-counts stream did not finish in 600s")
-    # tmp + atomic rename: a crash mid-write must not leave a readable
-    # partial result under the permanent cache path
-    spark.table(name).write.mode("overwrite").parquet(result + ".tmp")
-    os.rename(result + ".tmp", result)
+        raise
     return spark.read.parquet(result)
 
 

@@ -279,12 +279,13 @@ def run_approx_quality(spark) -> dict:
         # nprobe recall recovery (r3 verdict #4): overlap vs brute-force
         # top-k as the probe widens — nprobe=1 is the default oracle path
         ivf_overlap = {}
+        ivf = None
         for p in (1, 2, 4):
             got_p = [r["vec_id"]
                      for r in ivf_topk_cosine(spark, sf_dir, nprobe=p).collect()]
             ivf_overlap[p] = round(len(set(ann) & set(got_p)) / TOP_K, 3)
-        ivf = [r["vec_id"]
-               for r in ivf_topk_cosine(spark, sf_dir).collect()]
+            if p == 1:
+                ivf = got_p   # nprobe=1 IS the default path — don't re-run
         # measured prune at the PRODUCTION threshold: a (B,R) design for
         # cos≥0.9 (BENCH.md's ~10⁻⁵-of-pairs claim was analytic only —
         # this logs the measured fraction at each corpus size; the

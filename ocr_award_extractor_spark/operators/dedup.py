@@ -91,9 +91,15 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature_df(load_table(spark, sf_dir, "documents"))
 
 
-# Live pair-index elements per enumeration block in the bucket kernel —
-# bounds a skewed bucket's O(k²) allocation (same knob as similarity's).
-_PAIR_BLOCK_ELEMS = 1 << 22
+# Live pair-index elements per enumeration block in the bucket kernel
+# (re-exported so tests can monkeypatch per-module; the index math lives
+# in pairblocks.block_triangles, shared with the similarity kernels).
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    PAIR_BLOCK_ELEMS as _PAIR_BLOCK_ELEMS,
+)
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    block_triangles as _block_triangles,
+)
 
 
 def minhash_lsh_pairs_df(docs: DataFrame,
@@ -104,9 +110,12 @@ def minhash_lsh_pairs_df(docs: DataFrame,
     _score_buckets_broadcast, r3 verdict #3): (doc_id, band, key) rows
     group into buckets with ONE shuffle and each bucket's pairs are
     enumerated inside the Arrow kernel, then the tiny cross-band distinct.
-    The decisive win over the self-join spelling is that the MinHash
-    SIGNATURE subtree (scan → shingle explode → 16 partial-min aggs — the
-    expensive stage) is planned ONCE; the join duplicates it per side.
+    Measured honestly (BENCH.md round-4): the two spellings time WITHIN
+    NOISE at sf0.1 — Spark's ReuseExchange already computes the
+    self-join's duplicated signature subtree once — so the r3 regression
+    was VM steal, not plan structure. Bucket-local stays the default for
+    one shuffle READ instead of two exchange re-reads and for sharing the
+    skew-blocked kernel shape with the similarity side.
     Skew: a bucket of k members yields k(k-1)/2 pairs under EITHER
     spelling — blocked enumeration bounds the kernel's live memory, and a
     pathological all-duplicates corpus should run dedup_exact first (its
@@ -160,12 +169,8 @@ def minhash_lsh_pairs_df(docs: DataFrame,
         for pdf in batches:
             for members in pdf["members"]:
                 m = np.sort(np.asarray(members, dtype=np.int64))
-                k = len(m)
-                jj = np.arange(k)
-                bs = max(16, pair_block // k)
-                for s in range(0, k, bs):
-                    e = min(s + bs, k)
-                    ri, rj = np.nonzero(jj[None, :] > np.arange(s, e)[:, None])
+                for s, e, tri in _block_triangles(len(m), pair_block):
+                    ri, rj = np.nonzero(tri)
                     if len(ri):
                         out_a.append(m[ri + s])   # m sorted ⇒ doc_a < doc_b
                         out_b.append(m[rj])

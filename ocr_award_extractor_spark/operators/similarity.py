@@ -390,9 +390,10 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
     IEEE sequence — bit-equal results. A zero-norm (all-zero quantized)
     vector has UNDEFINED cosine, and the parity contract EXCLUDES such
     pairs on every engine: numpy's 0/0 is NaN which ``>=`` drops, the
-    join spelling masks ``isnan`` explicitly (Spark alone orders NaN
-    above every number, so its bare ``>=`` would keep it), and DuckDB's
-    double 0/0 is NULL which the threshold drops (pinned by
+    join spelling's ``try_divide`` yields NULL (a bare ``/`` would throw
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode, and with ANSI off
+    would give NaN — which Spark orders GREATEST), and DuckDB's double
+    0/0 is NULL; both NULLs fail the threshold (pinned by
     tests/test_trainingdata_ops.py::test_lsh_zero_norm_parity)."""
     import numpy as np
 

@@ -170,8 +170,8 @@ def zero_norm_dir(tmp_path_factory):
 
 def test_lsh_zero_norm_parity(spark, zero_norm_dir, monkeypatch):
     """Zero-norm vectors have UNDEFINED cosine and are excluded from
-    near-dup pairs on EVERY engine (numpy NaN fails >=, Spark masks
-    isnan, DuckDB 0/0 is NULL): both Spark spellings and the DuckDB
+    near-dup pairs on EVERY engine (numpy NaN fails >=, Spark's
+    try_divide yields NULL, DuckDB 0/0 is NULL): all Spark spellings and the DuckDB
     oracle must return exactly the C(20,2) identical-vector pairs at
     cos=1.0 and not one zero-norm pair. _PAIR_BLOCK_ELEMS=1 forces the
     blocked enumeration (bs=16 over 20+-member buckets)."""
