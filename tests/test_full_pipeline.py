@@ -74,3 +74,36 @@ def test_stage_outputs_are_staged_tables(pipeline_run, spark):
     seq = [summary["rows"][k] for k in
            ("extracted", "gated", "exact_unique", "neardup_unique", "sampled")]
     assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+
+
+def test_pipeline_resumes_after_partial_extraction(pipeline_run, spark,
+                                                   tmp_path):
+    """North-rule resumability at the COMPOSED level: extraction dies
+    after one committed batch; re-running the WHOLE pipeline over the
+    same output root resumes the extraction from the lineage (committed
+    splits skipped via the anti-join) and the downstream stages produce
+    exactly the clean run's row story."""
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.plans.full_pipeline import (
+        run_training_data_pipeline,
+    )
+    from ocr_award_extractor_spark.plans.lineage import (
+        run_resumable_extraction,
+    )
+
+    rows = [{"doc_id": i, "text": t, "lang": "en", "source": f"s{i}",
+             "n_chars": len(t)} for i, t in DOCS]
+    pages_dir = str(tmp_path / "pages")
+    webify_documents(spark.createDataFrame(rows)).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    out_dir = str(tmp_path / "out")
+
+    # simulate the kill: only ONE of two batches commits
+    stats = run_resumable_extraction(
+        spark, pages, os.path.join(out_dir, "extracted"), "pytest",
+        n_splits=2, n_batches=2, max_batches=1)
+    assert 0 < stats["rows_written"] < len(DOCS)     # genuinely partial
+
+    summary = run_training_data_pipeline(
+        spark, pages, out_dir, "pytest", n_splits=2, n_batches=2)
+    assert summary["rows"] == pipeline_run[0]["rows"]   # identical story
