@@ -245,17 +245,16 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window streaming aggregation, driver-graded:
     bounded availableNow run in complete mode equals the batch GROUP BY
     date_trunc('hour') exactly (decimal sums make the values independent
-    of state-merge order). The memory-sink table is materialized to
-    parquet so a SECOND invocation in the same process (checkpoint caught
-    up ⇒ the re-started query executes zero batches and the fresh memory
-    table stays empty) returns the already-computed result instead of an
-    empty frame; the query name is deterministic (sf tag), not
-    PYTHONHASHSEED-salted."""
+    of state-merge order). Sinks through the complete-mode snapshot
+    parquet sink (no driver-side memory sink), atomically published to a
+    result path on success so a SECOND invocation in the same process
+    (checkpoint caught up ⇒ a re-started query would execute zero
+    batches) returns the already-computed result."""
     import os
     import shutil
 
     from ocr_award_extractor_spark.streaming.extract_stream import (
-        windowed_event_counts,
+        make_complete_snapshot_sink, windowed_event_counts,
     )
 
     base = _stream_tmp(sf_dir, "events")
@@ -267,17 +266,20 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src, exist_ok=True)
         shutil.copy(os.path.join(sf_dir, "events.parquet"),
                     os.path.join(src, "events.parquet"))
-    name = f"windowed_counts_{_sf_tag(sf_dir).replace('.', '_')}"
-    # ANY failure between start and the atomic result rename clears the
-    # checkpoint (ADVICE r3, widened per round-4 review): a same-process
-    # retry over an advanced checkpoint with no cached result would run
-    # zero batches and permanently cache the EMPTY complete-mode memory
-    # table. This covers timeouts AND StreamingQueryException AND a
-    # failed materialization write equally.
+    # production sink (pre-empting the r3 dedup-leg finding for this leg
+    # too): complete-mode output IS the whole result table per batch, so
+    # the foreachBatch snapshot sink overwrites one parquet dir — no
+    # driver-side memory sink anywhere in the driver contract now. ANY
+    # failure between start and the atomic publish clears the checkpoint
+    # (ADVICE r3, widened per round-4 review): a same-process retry over
+    # an advanced checkpoint would otherwise run zero batches and publish
+    # nothing (or, with the old memory sink, an EMPTY table).
+    out = os.path.join(base, "out")
     try:
         q = (
             windowed_event_counts(spark, src)
-            .writeStream.format("memory").queryName(name)
+            .writeStream
+            .foreachBatch(make_complete_snapshot_sink(out))
             .outputMode("complete")
             .option("checkpointLocation", os.path.join(base, "ck"))
             .trigger(availableNow=True)
@@ -287,13 +289,11 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError(
                 "windowed-counts stream did not finish in 600s")
-        # materialize ONLY a finished run, via tmp + atomic rename: a
-        # crash mid-write must not leave a readable partial result under
-        # the permanent cache path
-        spark.table(name).write.mode("overwrite").parquet(result + ".tmp")
-        os.rename(result + ".tmp", result)
+        # atomic publish of the finished snapshot as the permanent result
+        os.rename(out, result)
     except BaseException:
         shutil.rmtree(os.path.join(base, "ck"), ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
         raise
     return spark.read.parquet(result)
 

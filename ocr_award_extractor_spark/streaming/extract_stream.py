@@ -44,6 +44,22 @@ def make_batch_sink(output_dir: str):
     return sink
 
 
+def make_complete_snapshot_sink(output_dir: str):
+    """Idempotent foreachBatch sink for COMPLETE-mode aggregations: each
+    microbatch carries the ENTIRE result table (that is what complete
+    output mode emits), so overwriting one fixed directory per batch is
+    exactly-once by construction — a replayed batch rewrites the same
+    deterministic snapshot, and the last batch of an availableNow
+    catch-up leaves the final table. The production spelling of what a
+    memory sink does driver-side, without collecting anything to the
+    driver."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(output_dir)
+
+    return sink
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -88,16 +104,19 @@ def windowed_event_counts(
     *,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ):
     """Watermarked tumbling-window counts per event_type (streaming
     groupBy with state cleanup once the watermark passes)."""
-    ev = (
+    reader = (
         spark.readStream
         .schema("event_id long, ts timestamp, user_id long, event_type string, "
                 "value double, props string")
         .format("parquet")
-        .load(events_dir)
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.load(events_dir)
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -186,25 +205,39 @@ def stream_dedup_first_seen(
 
 
 def run_windowed_counts_available_now(
-    spark: SparkSession, events_dir: str, checkpoint_dir: str
+    spark: SparkSession, events_dir: str, checkpoint_dir: str,
+    output_dir: str | None = None,
+    *,
+    max_files_per_trigger: int | None = None,
+    sink_transform=None,
 ) -> DataFrame:
-    """Bounded run of the windowed aggregation into a memory sink; returns
-    the result table (test/demo helper)."""
+    """Bounded run of the windowed aggregation through the complete-mode
+    snapshot sink; returns the result table (test/demo helper).
+    ``sink_transform`` (tests only) wraps the sink, e.g. to inject a
+    crash between the snapshot write and the checkpoint commit."""
+    import tempfile
+
     # complete mode: in a bounded (availableNow) run, append mode would
     # withhold the final windows still inside the watermark; complete
     # emits the whole result table, making batch-equality checks exact.
+    out = output_dir or tempfile.mkdtemp(prefix="windowed_counts_")
+    sink = make_complete_snapshot_sink(out)
+    if sink_transform is not None:
+        sink = sink_transform(sink)
     q = (
-        windowed_event_counts(spark, events_dir)
-        .writeStream.format("memory").queryName("windowed_counts")
+        windowed_event_counts(spark, events_dir,
+                              max_files_per_trigger=max_files_per_trigger)
+        .writeStream.foreachBatch(sink)
         .outputMode("complete")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table("windowed_counts")
+    return spark.read.parquet(out)
 
 
 __all__ = ["stream_extract", "windowed_event_counts",
+           "make_complete_snapshot_sink",
            "run_windowed_counts_available_now", "stream_dedup_first_seen",
            "OUT_SCHEMA"]

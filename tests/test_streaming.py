@@ -312,3 +312,56 @@ def test_stateful_dedup_sink_exactly_once_after_crash(spark, tmp_path):
     assert len(urls) == len(set(urls)) == 3              # no dupes anywhere
     assert set(got) == {f"https://x.example/{u}" for u in "abc"}
     assert got["https://x.example/b"] == t0 + timedelta(hours=1)  # first seen
+
+
+def test_windowed_snapshot_sink_exactly_once_after_crash(spark, tmp_path):
+    """The complete-mode snapshot sink under the post-write/pre-commit
+    crash: the replayed batch re-emits the complete table as of that
+    batch and OVERWRITES its own partial snapshot; after catch-up the
+    final snapshot equals the batch aggregation exactly — no dupes, no
+    frozen intermediate state."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        run_windowed_counts_available_now,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "events"
+    src.mkdir()
+    half = events.count() // 2
+    events.limit(half).coalesce(1).write.parquet(str(src / "e1"))
+    events.subtract(events.limit(half)).coalesce(1) \
+        .write.parquet(str(src / "e2"))
+
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    state = {"crashed": False}
+
+    def poison(real_sink):
+        def sink(df, batch_id):
+            real_sink(df, batch_id)
+            if batch_id == 0 and not state["crashed"]:
+                state["crashed"] = True
+                raise RuntimeError("injected crash between write and commit")
+        return sink
+
+    with pytest.raises(StreamingQueryException):
+        run_windowed_counts_available_now(
+            spark, str(src) + "/*", ck, out,
+            max_files_per_trigger=1, sink_transform=poison)
+    assert os.path.isdir(out)   # the crash really was post-write
+
+    got = run_windowed_counts_available_now(
+        spark, str(src) + "/*", ck, out, max_files_per_trigger=1)
+    want = (
+        spark.read.parquet(str(src) + "/*")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+             .cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
