@@ -226,7 +226,14 @@ def dedup_clusters_df(docs: DataFrame) -> DataFrame:
 def connected_components(docs: DataFrame, edges: DataFrame,
                          max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Min-label propagation + pointer jumping over (src, dst) edges;
-    docs(doc_id) supplies the vertex set (singletons included)."""
+    docs(doc_id) supplies the vertex set (singletons included).
+
+    Scale-honesty note: localCheckpoint materializes to EXECUTOR storage
+    — fast, but an executor loss mid-computation loses the truncated
+    lineage and fails the job. On a long-running 1000-executor cluster
+    swap in reliable checkpointing (sc.setCheckpointDir + .checkpoint())
+    or stage each round to the job's scratch table; the iteration
+    structure is unchanged."""
     # materialize once: every propagation round joins against edges, and
     # without this the edge-producing subtree (shingle→minhash→LSH when
     # called from dedup_clusters) re-executes per round
