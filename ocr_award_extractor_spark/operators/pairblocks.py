@@ -18,6 +18,8 @@ def block_triangles(k: int, pair_block: int):
     row indices come back block-local (add s for the global row)."""
     import numpy as np
 
+    if k < 2:           # no pairs (and k=0 must not divide below) —
+        return          # production buckets are size>=2-filtered anyway
     jj = np.arange(k)
     bs = max(16, pair_block // k)
     for s in range(0, k, bs):

@@ -237,3 +237,47 @@ def test_minhash_bucket_local_equals_join(spark, planted_dir, monkeypatch):
                       spark, sf, force_join=True).collect()}
         assert local == joined, sf
     assert local   # sf0.01 has 25 known pairs — non-vacuous
+
+
+def test_block_triangles_covers_exactly_the_upper_triangle():
+    """Property: for any (k, pair_block) the blocked enumeration yields
+    every pair (i, j), i < j, exactly once — the invariant both the
+    similarity scorer and the MinHash kernel lean on."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_award_extractor_spark.operators.pairblocks import block_triangles
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=120),
+           st.integers(min_value=1, max_value=1 << 22))
+    def check(k, pair_block):
+        got = []
+        for s, e, tri in block_triangles(k, pair_block):
+            assert 0 <= s < e <= k and tri.shape == (e - s, k)
+            ri, rj = np.nonzero(tri)
+            got += [(int(i) + s, int(j)) for i, j in zip(ri, rj)]
+        want = [(i, j) for i in range(k) for j in range(i + 1, k)]
+        assert sorted(got) == want
+
+    check()
+
+
+def test_collect_matrix_arrow_equals_row_collect(spark):
+    """The Arrow-columnar driver collect must reproduce exactly what the
+    old Row-object collect produced (ids sorted, rows aligned)."""
+    import numpy as np
+
+    from ocr_award_extractor_spark.operators.similarity import (
+        _collect_matrix_arrow, _quant,
+    )
+    from ocr_award_extractor_spark.sources.tables import load_table
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", _quant(F2.col("embedding")).alias("qe"))
+    ids, E = _collect_matrix_arrow(emb)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    assert list(ids) == [r["vec_id"] for r in rows]
+    assert np.array_equal(E, np.array([r["qe"] for r in rows], dtype=np.int64))
