@@ -281,3 +281,20 @@ def test_collect_matrix_arrow_equals_row_collect(spark):
     rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
     assert list(ids) == [r["vec_id"] for r in rows]
     assert np.array_equal(E, np.array([r["qe"] for r in rows], dtype=np.int64))
+
+
+def test_lsh_auto_spelling_respects_the_cap(spark, monkeypatch):
+    """Auto selection: at a cap of 0 every corpus is 'beyond broadcast',
+    so the default call must route through the shuffled-vectors scorer
+    and still return the broadcast spelling's exact rows — the selector
+    itself is exercised end-to-end, not just the forced spellings."""
+    from ocr_award_extractor_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    want = {(r["va"], r["vb"], r["cos_sim"])
+            for r in similarity.lsh_neardup_pairs(
+                spark, sf, spelling="broadcast").collect()}
+    monkeypatch.setattr(similarity, "LSH_BROADCAST_SCORE_MAX", 0)
+    got = {(r["va"], r["vb"], r["cos_sim"])
+           for r in similarity.lsh_neardup_pairs(spark, sf).collect()}
+    assert got == want and got
