@@ -308,10 +308,16 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str,
 # executor. (The r3 cap of 10M assumed the 512 B raw matrix only, and
 # the then-Row-object collect actually cost ~50× that — both fixed.)
 LSH_BROADCAST_SCORE_MAX = 2_000_000
-# Live floats per pair-enumeration block inside the kernel: a skewed
-# bucket of k members would otherwise allocate O(k²) at once via
-# triu_indices; blocking bounds the window to ~32 MB whatever k is.
-_PAIR_BLOCK_ELEMS = 1 << 22
+# Live floats per pair-enumeration block inside the kernel — bounds a
+# skewed bucket's O(k²) allocation. Re-exported so tests can monkeypatch
+# per-module; the index math itself lives in pairblocks.block_triangles,
+# shared with the MinHash kernel.
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    PAIR_BLOCK_ELEMS as _PAIR_BLOCK_ELEMS,
+)
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    block_triangles as _block_triangles,
+)
 
 
 def _score_one_bucket(m, sub, pair_block):
@@ -327,19 +333,15 @@ def _score_one_bucket(m, sub, pair_block):
     # ≤ 6.4·10⁹), and taking the PRODUCT in float matches the
     # JVM/DuckDB double-multiply spelling
     norms = np.einsum("ij,ij->i", sub, sub).astype(np.float64)
-    k = len(m)
-    jj = np.arange(k)
-    bs = max(16, pair_block // k)
     va, vb, cs = [], [], []
-    for s0 in range(0, k, bs):
-        e = min(s0 + bs, k)
+    for s0, e, tri in _block_triangles(len(m), pair_block):
         G = sub[s0:e] @ sub.T                     # exact int64 dots
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = (G.astype(np.float64)
                    / np.sqrt(norms[s0:e, None] * norms[None, :]))
         # NaN (zero-norm member) fails >= — excluded, like the join
         # spelling's try_divide NULL / DuckDB's NULL
-        keep = (cos >= NEARDUP_THRESHOLD)             & (jj[None, :] > np.arange(s0, e)[:, None])
+        keep = (cos >= NEARDUP_THRESHOLD) & tri
         ri, rj = np.nonzero(keep)
         if len(ri):
             va.append(m[ri + s0])                 # m sorted ⇒ va < vb

@@ -80,7 +80,7 @@ def stream_extract(
         spark.readStream.schema(PAGE_SCHEMA)
         .format("parquet")
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.load(input_dir)
     extracted = extract_documents(pages)
@@ -114,7 +114,7 @@ def windowed_event_counts(
                 "value double, props string")
         .format("parquet")
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     ev = reader.load(events_dir)
     return (
@@ -181,7 +181,7 @@ def stream_dedup_first_seen(
     from ocr_award_extractor_spark.operators.webify import PAGE_SCHEMA
 
     reader = spark.readStream.schema(PAGE_SCHEMA).format("parquet")
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.load(input_dir).select("url", "warc_ts")
     deduped = pages.groupBy("url").applyInPandasWithState(
@@ -213,14 +213,16 @@ def run_windowed_counts_available_now(
 ) -> DataFrame:
     """Bounded run of the windowed aggregation through the complete-mode
     snapshot sink; returns the result table (test/demo helper).
-    ``sink_transform`` (tests only) wraps the sink, e.g. to inject a
-    crash between the snapshot write and the checkpoint commit."""
-    import tempfile
-
+    ``output_dir`` defaults to ``<checkpoint_dir>_out`` so a reinvocation
+    over a CAUGHT-UP checkpoint (zero batches ⇒ the sink never fires)
+    still reads the previously-written snapshot instead of an empty
+    fresh directory. ``sink_transform`` (tests only) wraps the sink,
+    e.g. to inject a crash between the snapshot write and the checkpoint
+    commit."""
     # complete mode: in a bounded (availableNow) run, append mode would
     # withhold the final windows still inside the watermark; complete
     # emits the whole result table, making batch-equality checks exact.
-    out = output_dir or tempfile.mkdtemp(prefix="windowed_counts_")
+    out = output_dir or checkpoint_dir.rstrip("/") + "_out"
     sink = make_complete_snapshot_sink(out)
     if sink_transform is not None:
         sink = sink_transform(sink)
@@ -233,7 +235,11 @@ def run_windowed_counts_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # stop BEFORE reading: the still-running sink overwrites the
+        # snapshot dir mid-read otherwise
+        q.stop()
+        raise TimeoutError("windowed-counts catch-up did not finish in 300s")
     return spark.read.parquet(out)
 
 

@@ -91,12 +91,22 @@ def test_pipeline_resumes_after_partial_extraction(pipeline_run, spark,
         run_resumable_extraction,
     )
 
+    from ocr_award_extractor_spark.plans.lineage import with_split_id
+
     rows = [{"doc_id": i, "text": t, "lang": "en", "source": f"s{i}",
              "n_chars": len(t)} for i, t in DOCS]
     pages_dir = str(tmp_path / "pages")
     webify_documents(spark.createDataFrame(rows)).write.parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     out_dir = str(tmp_path / "out")
+
+    # PRECONDITION (not luck): the planted urls must hash into BOTH
+    # splits, or max_batches=1 would not actually be partial — surface a
+    # DOCS/url-scheme change here instead of a confusing downstream fail
+    split_ids = {r["split_id"]
+                 for r in with_split_id(pages, n_splits=2)
+                 .select("split_id").distinct().collect()}
+    assert split_ids == {0, 1}, split_ids
 
     # simulate the kill: only ONE of two batches commits
     stats = run_resumable_extraction(
