@@ -365,3 +365,26 @@ def test_windowed_snapshot_sink_exactly_once_after_crash(spark, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+def test_windowed_snapshot_survives_caught_up_reinvocation(spark, tmp_path):
+    """Reinvoking the helper over a CAUGHT-UP checkpoint (zero batches,
+    sink never fires) must return the previously-written snapshot — the
+    checkpoint-derived default output path is what makes the old
+    memory-sink reinvocation bug structurally impossible."""
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        run_windowed_counts_available_now,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                str(src / "events.parquet"))
+    ck = str(tmp_path / "ck")
+    a = sorted(map(tuple,
+                   run_windowed_counts_available_now(spark, str(src), ck)
+                   .collect()))
+    b = sorted(map(tuple,
+                   run_windowed_counts_available_now(spark, str(src), ck)
+                   .collect()))
+    assert a == b and len(a) > 0
