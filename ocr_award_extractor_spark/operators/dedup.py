@@ -95,15 +95,43 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (re-exported so tests can monkeypatch per-module; the index math lives
 # in pairblocks.block_triangles, shared with the similarity kernels).
 from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    MAX_BUCKET_MEMBERS as _MAX_BUCKET_MEMBERS,
+)
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
     PAIR_BLOCK_ELEMS as _PAIR_BLOCK_ELEMS,
 )
 from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
     block_triangles as _block_triangles,
 )
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    check_bucket as _check_bucket,
+)
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    guard_keyed_jvm as _guard_keyed_jvm,
+)
+
+# Accumulator of the most recent skip-mode run (one per call; tests read
+# .value after forcing an action). None until a skip-mode plan is built.
+LAST_OVERSIZE_ACC = None
+
+
+def _oversize_acc(df: DataFrame, on_oversize: str):
+    """A fresh oversize-bucket accumulator for skip mode (module global
+    LAST_OVERSIZE_ACC points at it so callers/tests can read the count
+    after an action); validates the mode eagerly at plan-build time."""
+    global LAST_OVERSIZE_ACC
+    if on_oversize not in ("error", "skip"):
+        raise ValueError(f"unknown on_oversize: {on_oversize}")
+    if on_oversize != "skip":
+        return None
+    LAST_OVERSIZE_ACC = df.sparkSession.sparkContext.accumulator(0)
+    return LAST_OVERSIZE_ACC
 
 
 def minhash_lsh_pairs_df(docs: DataFrame,
-                         force_join: bool = False) -> DataFrame:
+                         force_join: bool = False,
+                         max_bucket: int | None = None,
+                         on_oversize: str = "error") -> DataFrame:
     """LSH candidate pairs: docs agreeing on ALL R rows of ANY band.
 
     Default spelling is BUCKET-LOCAL (mirrors similarity's
@@ -116,14 +144,22 @@ def minhash_lsh_pairs_df(docs: DataFrame,
     was VM steal, not plan structure. Bucket-local stays the default for
     one shuffle READ instead of two exchange re-reads and for sharing the
     skew-blocked kernel shape with the similarity side.
-    Skew: a bucket of k members yields k(k-1)/2 pairs under EITHER
-    spelling — blocked enumeration bounds the kernel's live memory, and a
-    pathological all-duplicates corpus should run dedup_exact first (its
-    one fingerprint shuffle collapses exact copies before shingling).
+
+    Skew / mega-bucket guard (ENFORCED, r4 verdict #1): a bucket of k
+    members yields k(k-1)/2 pairs under EITHER spelling — blocked
+    enumeration bounds kernel live memory, but nothing bounds the OUTPUT.
+    The contract is "run dedup_exact first" (its one fingerprint shuffle
+    collapses exact copies before shingling); buckets past ``max_bucket``
+    (default pairblocks.MAX_BUCKET_MEMBERS) now fail the job with an
+    actionable error, or with ``on_oversize='skip'`` are dropped and
+    counted into LAST_OVERSIZE_ACC (the join spelling enforces the same
+    cap JVM-side — skip-filtered without a counter).
 
     ``force_join=True`` keeps the classic self-equi-join spelling
     reachable (bit-equality pinned by
     tests/test_trainingdata_ops.py::test_minhash_bucket_local_equals_join)."""
+    cap = _MAX_BUCKET_MEMBERS if max_bucket is None else max_bucket
+    acc = _oversize_acc(docs, on_oversize)
     sig = minhash_signature_df(docs)
     bands = F.array(*[
         F.struct(
@@ -136,6 +172,8 @@ def minhash_lsh_pairs_df(docs: DataFrame,
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     if force_join:
+        keyed = _guard_keyed_jvm(keyed, ["band", "key"], cap, on_oversize,
+                                 "MinHash-LSH")
         a, b = keyed.alias("a"), keyed.alias("b")
         return (
             a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -153,6 +191,7 @@ def minhash_lsh_pairs_df(docs: DataFrame,
     )
     pair_block = _PAIR_BLOCK_ELEMS   # closure copy: workers re-import the
     # module, a test-side monkeypatch must ride the serialized function
+    check, mode = _check_bucket, on_oversize   # closure copies likewise
 
     def kernel(batches):
         import numpy as np
@@ -168,6 +207,8 @@ def minhash_lsh_pairs_df(docs: DataFrame,
         n_buf = 0
         for pdf in batches:
             for members in pdf["members"]:
+                if not check(len(members), cap, mode, "MinHash-LSH", acc):
+                    continue
                 m = np.sort(np.asarray(members, dtype=np.int64))
                 for s, e, tri in _block_triangles(len(m), pair_block):
                     ri, rj = np.nonzero(tri)
@@ -175,9 +216,12 @@ def minhash_lsh_pairs_df(docs: DataFrame,
                         out_a.append(m[ri + s])   # m sorted ⇒ doc_a < doc_b
                         out_b.append(m[rj])
                         n_buf += len(ri)
-            if n_buf >= (1 << 16):
-                yield flush()
-                out_a, out_b, n_buf = [], [], 0
+                    # flush INSIDE the block loop (ADVICE r4): one skewed
+                    # bucket, or many buckets in one Arrow batch, must not
+                    # accumulate an unbounded output buffer before the check
+                    if n_buf >= (1 << 16):
+                        yield flush()
+                        out_a, out_b, n_buf = [], [], 0
         yield flush()
 
     return (

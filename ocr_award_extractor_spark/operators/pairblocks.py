@@ -9,6 +9,73 @@ from __future__ import annotations
 
 PAIR_BLOCK_ELEMS = 1 << 22   # ~32 MB of float64 live per block
 
+# Mega-bucket guard (r4 verdict #1): blocked enumeration bounds a kernel's
+# LIVE memory for any bucket size, but the pair OUTPUT of a k-member
+# bucket is still k(k-1)/2 — an exact-duplicate flood that lands k ≫
+# target-bucket-size members in one bucket emits O(k²) pairs under EVERY
+# spelling. The documented contract is "run dedup_exact first" (its one
+# fingerprint shuffle collapses exact copies before shingling/banding);
+# this guard makes a violation LOUD instead of silent. 4096 is 256× the
+# LSH design bucket (LSH_TARGET_BUCKET=16) and ~8.4M pairs from a single
+# bucket — far past anything a non-degenerate corpus produces.
+MAX_BUCKET_MEMBERS = 4096
+
+
+def check_bucket(k: int, cap: int, on_oversize: str, kind: str,
+                 acc=None) -> bool:
+    """Admission check for one bucket of ``k`` members against ``cap``.
+
+    Returns True to process the bucket. ``on_oversize='error'`` (the
+    default everywhere) raises with an actionable message — the job fails
+    loud; ``'skip'`` drops the bucket, counts it into the Spark
+    accumulator ``acc`` (worker adds propagate to the driver), and
+    returns False. Runs inside Arrow kernels, so it must stay
+    import-free."""
+    if k <= cap:
+        return True
+    if on_oversize == "skip":
+        if acc is not None:
+            acc.add(1)
+        return False
+    raise ValueError(
+        f"{kind} bucket has {k} members (> {cap}-member guard): an "
+        f"exact-duplicate flood is landing O(k^2)={k * (k - 1) // 2} "
+        f"pairs in one bucket. Run dedup_exact first (the documented "
+        f"contract), or pass on_oversize='skip' to drop oversize "
+        f"buckets and count them in the oversize accumulator."
+    )
+
+
+def guard_keyed_jvm(keyed, bucket_cols: list[str], cap: int,
+                    on_oversize: str, kind: str):
+    """Mega-bucket guard for the all-JVM join spellings: a window count
+    over the bucket key either raises in-plan (error mode — raise_error
+    fires on the first oversize row, failing the job with the same
+    message shape as the kernel guard) or filters oversize buckets out
+    (skip mode; JVM-side, so no Python accumulator — the kernel
+    spellings carry the counter). The window repartitions by the same
+    key the downstream self-join shuffles on, so no extra exchange shape
+    is introduced."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
+    sized = keyed.withColumn("_bk_n", cnt)
+    if on_oversize == "skip":
+        return sized.where(F.col("_bk_n") <= F.lit(cap)).drop("_bk_n")
+    msg = F.format_string(
+        f"{kind} bucket has %s members (> {cap}-member guard): run "
+        f"dedup_exact first, or pass on_oversize='skip'",
+        F.col("_bk_n").cast("string"),
+    )
+    # raise_error lives INSIDE the filter predicate (CaseWhen branches are
+    # lazy, and a predicate on the runtime window count can't be
+    # constant-folded or pruned away — a tautology-plus-drop spelling
+    # could be optimized out entirely)
+    keep = (F.when(F.col("_bk_n") > F.lit(cap), F.raise_error(msg).isNull())
+            .otherwise(F.lit(True)))
+    return sized.where(keep).drop("_bk_n")
+
 
 def block_triangles(k: int, pair_block: int):
     """Yield (s, e, tri) per row block for the pairs (i, j), i < j, over

@@ -240,8 +240,11 @@ def lsh_band_keys(emb_q: DataFrame, bands: int = LSH_BANDS,
                 # PACKED binary, not array<bigint>: the downstream kernel
                 # reassembles whole buckets with ONE np.frombuffer — an
                 # array column would round-trip 64 Python ints per member
-                # (measured ~12 µs/row of pure conversion overhead)
-                qe_bin = [row.tobytes() for row in E.astype(np.int64)]
+                # (measured ~12 µs/row of pure conversion overhead).
+                # Explicit little-endian ('<i8' both here and in the
+                # frombuffer decode): byte layout is part of the shuffle
+                # contract, not an artifact of worker endianness
+                qe_bin = [row.tobytes() for row in E.astype("<i8")]
                 out["qe_bin"] = np.repeat(
                     np.array(qe_bin, dtype=object), bands)
             yield pd.DataFrame(out)
@@ -268,12 +271,19 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_collisions(emb_q: DataFrame, bands: int, rows: int) -> DataFrame:
+def _band_collisions(emb_q: DataFrame, bands: int, rows: int,
+                     max_bucket: int | None = None,
+                     on_oversize: str = "error") -> DataFrame:
     """RAW banded collisions (va, vb) — one row per (band, bucket)
     co-occurrence, duplicates across bands NOT collapsed. The band
     self-join moves ONLY (vec_id, band, key) — 24 bytes/row, never the
-    vectors."""
+    vectors. The same mega-bucket guard as the kernel spellings runs
+    JVM-side on the keys (error: in-plan raise; skip: filter, no
+    counter) before the self-join can square an oversize bucket."""
+    cap = _MAX_BUCKET_MEMBERS if max_bucket is None else max_bucket
     keys = lsh_band_keys(emb_q, bands, rows)
+    keys = _guard_keyed_jvm(keys, ["band", "key"], cap, on_oversize,
+                            "LSH band")
     a = keys.select(F.col("band").alias("ba"), F.col("key").alias("ka"),
                     F.col("vec_id").alias("va"))
     b = keys.select(F.col("band").alias("bb"), F.col("key").alias("kb"),
@@ -313,11 +323,36 @@ LSH_BROADCAST_SCORE_MAX = 2_000_000
 # per-module; the index math itself lives in pairblocks.block_triangles,
 # shared with the MinHash kernel.
 from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    MAX_BUCKET_MEMBERS as _MAX_BUCKET_MEMBERS,
+)
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
     PAIR_BLOCK_ELEMS as _PAIR_BLOCK_ELEMS,
 )
 from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
     block_triangles as _block_triangles,
 )
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    check_bucket as _check_bucket,
+)
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    guard_keyed_jvm as _guard_keyed_jvm,
+)
+
+# Accumulator of the most recent skip-mode run (tests read .value after
+# forcing an action). None until a skip-mode plan is built.
+LAST_OVERSIZE_ACC = None
+
+
+def _oversize_acc(df: DataFrame, on_oversize: str):
+    """A fresh oversize-bucket accumulator for skip mode (module global
+    LAST_OVERSIZE_ACC points at it); validates the mode eagerly."""
+    global LAST_OVERSIZE_ACC
+    if on_oversize not in ("error", "skip"):
+        raise ValueError(f"unknown on_oversize: {on_oversize}")
+    if on_oversize != "skip":
+        return None
+    LAST_OVERSIZE_ACC = df.sparkSession.sparkContext.accumulator(0)
+    return LAST_OVERSIZE_ACC
 
 
 def _score_one_bucket(m, sub, pair_block):
@@ -368,7 +403,9 @@ def _collect_matrix_arrow(emb_q: DataFrame):
     return ids[order], E[order]
 
 
-def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
+def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame,
+                             max_bucket: int | None = None,
+                             on_oversize: str = "error") -> DataFrame:
     """Bucket-local near-dup scoring against a BROADCAST quantized-vector
     matrix — the textbook LSH scale shape: ONE shuffle groups the
     24-byte (vec_id, band, key) rows into buckets, and every intra-bucket
@@ -399,10 +436,13 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
     tests/test_trainingdata_ops.py::test_lsh_zero_norm_parity)."""
     import numpy as np
 
+    cap = _MAX_BUCKET_MEMBERS if max_bucket is None else max_bucket
+    acc = _oversize_acc(emb_q, on_oversize)
     ids_sorted, E_sorted = _collect_matrix_arrow(emb_q)
     bc = emb_q.sparkSession.sparkContext.broadcast((ids_sorted, E_sorted))
     pair_block = _PAIR_BLOCK_ELEMS   # captured by value: workers re-import
     # the module, so a test-side monkeypatch must ride the closure
+    check, mode = _check_bucket, on_oversize
 
     buckets = (
         keys.groupBy("band", "key")
@@ -426,6 +466,8 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
         n_buf = 0
         for pdf in batches:
             for members in pdf["members"]:
+                if not check(len(members), cap, mode, "LSH score", acc):
+                    continue
                 m = np.sort(np.asarray(members, dtype=np.int64))
                 sub = M[np.searchsorted(sids, m)]
                 va, vb, cs = _score_one_bucket(m, sub, pair_block)
@@ -433,9 +475,11 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
                 out_b += vb
                 out_c += cs
                 n_buf += sum(len(x) for x in va)
-            if n_buf >= (1 << 16):
-                yield flush()
-                out_a, out_b, out_c, n_buf = [], [], [], 0
+                # flush per bucket (ADVICE r4): survivors must not pool
+                # across a whole Arrow batch before the threshold check
+                if n_buf >= (1 << 16):
+                    yield flush()
+                    out_a, out_b, out_c, n_buf = [], [], [], 0
         yield flush()
 
     return (
@@ -444,7 +488,9 @@ def _score_buckets_broadcast(emb_q: DataFrame, keys: DataFrame) -> DataFrame:
     )
 
 
-def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int) -> DataFrame:
+def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int,
+                            max_bucket: int | None = None,
+                            on_oversize: str = "error") -> DataFrame:
     """Bucket-local scoring BEYOND broadcast size — the 10⁹-vector
     production shape: the quantized vectors RIDE the band shuffle
     (collect_list of (vec_id, qe) structs per bucket) instead of a driver
@@ -459,6 +505,8 @@ def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int) -> DataFram
     spelling — bit-equal by construction."""
     import numpy as np
 
+    cap = _MAX_BUCKET_MEMBERS if max_bucket is None else max_bucket
+    acc = _oversize_acc(emb_q, on_oversize)
     keys = lsh_band_keys(emb_q, bands, rows, with_vec=True)
     buckets = (
         keys.groupBy("band", "key")
@@ -467,6 +515,7 @@ def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int) -> DataFram
         .select("members")
     )
     pair_block = _PAIR_BLOCK_ELEMS   # closure copy (workers re-import)
+    check, mode = _check_bucket, on_oversize
 
     def kernel(batches):
         import pandas as pd
@@ -482,13 +531,17 @@ def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int) -> DataFram
         n_buf = 0
         for pdf in batches:
             for members in pdf["members"]:
+                if not check(len(members), cap, mode, "LSH score", acc):
+                    continue
                 ids = np.fromiter((mm["vec_id"] for mm in members),
                                   dtype=np.int64, count=len(members))
-                # one frombuffer for the whole bucket (native-endian
-                # int64 both sides — packed by lsh_band_keys above)
+                # one frombuffer for the whole bucket — explicit
+                # little-endian, matching lsh_band_keys' '<i8' pack (the
+                # byte layout is the shuffle contract, endianness-proof)
                 E = np.frombuffer(
                     b"".join(mm["qe_bin"] for mm in members),
-                    dtype=np.int64).reshape(len(ids), DIM)
+                    dtype="<i8").astype(np.int64,
+                                        copy=False).reshape(len(ids), DIM)
                 order = np.argsort(ids)
                 va, vb, cs = _score_one_bucket(ids[order], E[order],
                                                pair_block)
@@ -496,9 +549,11 @@ def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int) -> DataFram
                 out_b += vb
                 out_c += cs
                 n_buf += sum(len(x) for x in va)
-            if n_buf >= (1 << 16):
-                yield flush()
-                out_a, out_b, out_c, n_buf = [], [], [], 0
+                # flush per bucket (ADVICE r4): survivors must not pool
+                # across a whole Arrow batch before the threshold check
+                if n_buf >= (1 << 16):
+                    yield flush()
+                    out_a, out_b, out_c, n_buf = [], [], [], 0
         yield flush()
 
     return (
@@ -509,7 +564,9 @@ def _score_buckets_shuffled(emb_q: DataFrame, bands: int, rows: int) -> DataFram
 
 def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
                       bands: int | None = None, rows: int | None = None,
-                      spelling: str = "auto") -> DataFrame:
+                      spelling: str = "auto",
+                      max_bucket: int | None = None,
+                      on_oversize: str = "error") -> DataFrame:
     """The scale path: near-dup pairs restricted to banded-LSH candidates
     (recall ~LSH_TARGET_RECALL at the design threshold by construction;
     measured against the brute-force baseline in bench.py).
@@ -528,7 +585,16 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
       shape (see _score_buckets_shuffled);
     * ``join``: distinct candidates first, then two hash joins fetch the
       quantized vectors and the exact-int64 HOF fold scores each pair —
-      kept as the all-JVM reference spelling and measured in bench.py."""
+      kept as the all-JVM reference spelling and measured in bench.py.
+
+    Mega-bucket guard (ENFORCED, r4 verdict #1): a bucket of k members
+    implies k(k-1)/2 pairs under every spelling; buckets past
+    ``max_bucket`` (default pairblocks.MAX_BUCKET_MEMBERS — 256× the
+    design bucket) fail the job with an actionable "run dedup_exact
+    first" error, or with ``on_oversize='skip'`` are dropped and counted
+    into LAST_OVERSIZE_ACC (kernel spellings; the join spelling filters
+    JVM-side). Pinned by
+    tests/test_trainingdata_ops.py::test_mega_bucket_guard*."""
     if spelling not in ("auto", "broadcast", "shuffled", "join"):
         raise ValueError(f"unknown spelling: {spelling}")
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -550,10 +616,12 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
                     else "shuffled")
     if spelling == "broadcast":
         keys = lsh_band_keys(emb, bands, rows)
-        return _score_buckets_broadcast(emb, keys)
+        return _score_buckets_broadcast(emb, keys, max_bucket, on_oversize)
     if spelling == "shuffled":
-        return _score_buckets_shuffled(emb, bands, rows)
-    cand = lsh_candidate_pairs(spark, sf_dir, bands, rows)
+        return _score_buckets_shuffled(emb, bands, rows, max_bucket,
+                                       on_oversize)
+    cand = _band_collisions(emb, bands, rows, max_bucket,
+                            on_oversize).distinct()
     ea = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
     pairs = cand.join(ea, "va").join(eb, "vb")

@@ -298,3 +298,100 @@ def test_lsh_auto_spelling_respects_the_cap(spark, monkeypatch):
     got = {(r["va"], r["vb"], r["cos_sim"])
            for r in similarity.lsh_neardup_pairs(spark, sf).collect()}
     assert got == want and got
+
+
+@pytest.fixture(scope="module")
+def flood_dir(tmp_path_factory):
+    """An exact-duplicate FLOOD: 30 copies of one text land all 30 doc_ids
+    in the same bucket of every MinHash band — the degenerate corpus the
+    mega-bucket guard exists for — plus a near-dup pair and a singleton
+    that must survive a skip/dedup pass."""
+    d = tmp_path_factory.mktemp("flood")
+    flood = " ".join(BASE)
+    rows = [{"doc_id": i, "text": flood, "lang": "en", "source": "s",
+             "n_chars": len(flood)} for i in range(30)]
+    near = " ".join(BASE[:-2] + ["blue", "sea"])
+    rows.append({"doc_id": 30, "text": near, "lang": "en", "source": "s",
+                 "n_chars": len(near)})
+    other = ("completely different words about spark query engines and "
+             "shuffles with partitions and codegen stages everywhere")
+    rows.append({"doc_id": 31, "text": other, "lang": "en", "source": "s",
+                 "n_chars": len(other)})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def test_mega_bucket_guard_minhash(spark, flood_dir):
+    """r4 verdict #1: an exact-dup flood must FAIL LOUD (error mode, both
+    spellings), be droppable-and-counted (skip mode + accumulator), and
+    run clean after the documented dedup_exact pre-pass."""
+    from ocr_award_extractor_spark.operators import dedup
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, flood_dir, "documents")
+
+    # error mode (the default): kernel raise surfaces through the action
+    with pytest.raises(Exception, match="member guard"):
+        dedup.minhash_lsh_pairs_df(docs, max_bucket=8).collect()
+    # ... and the all-JVM join spelling fails the same contract in-plan
+    with pytest.raises(Exception, match="member guard"):
+        dedup.minhash_lsh_pairs_df(docs, force_join=True,
+                                   max_bucket=8).collect()
+
+    # skip mode: flood buckets dropped AND counted; small buckets intact
+    skipped = {(r["doc_a"], r["doc_b"])
+               for r in dedup.minhash_lsh_pairs_df(
+                   docs, max_bucket=8, on_oversize="skip").collect()}
+    assert dedup.LAST_OVERSIZE_ACC.value >= 1
+    assert all(a >= 30 or b >= 30 for a, b in skipped)  # no flood pairs
+
+    # the documented remedy: dedup_exact first, then pairs run clean under
+    # the SAME cap in the default error mode — and find the near-dup edge
+    from pyspark.sql import functions as F2
+
+    keepers = dedup.dedup_exact_df(docs).select(
+        F2.col("keeper").alias("doc_id"))
+    deduped = docs.join(keepers, "doc_id")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs_df(
+                 deduped, max_bucket=8).collect()}
+    assert (0, 30) in pairs            # keeper 0 still pairs with near-dup
+    assert all(a < 30 or a == 30 for a, _ in pairs)
+
+
+def test_mega_bucket_guard_lsh_spellings(spark, zero_norm_dir):
+    """The same guard on the similarity side: zero_norm_dir's 20 identical
+    vectors exceed a cap of 10 in every band — all three spellings must
+    fail loud in error mode; skip mode drops the buckets, counts them,
+    and the default cap (256x design bucket) leaves results untouched."""
+    from ocr_award_extractor_spark.operators import similarity
+
+    for spelling in ("broadcast", "shuffled", "join"):
+        with pytest.raises(Exception, match="member guard"):
+            similarity.lsh_neardup_pairs(
+                spark, zero_norm_dir, spelling=spelling,
+                max_bucket=10).collect()
+
+    # skip mode, kernel spellings: dropped + counted
+    got = similarity.lsh_neardup_pairs(
+        spark, zero_norm_dir, spelling="broadcast", max_bucket=10,
+        on_oversize="skip").collect()
+    assert got == [] and similarity.LAST_OVERSIZE_ACC.value >= 1
+    got = similarity.lsh_neardup_pairs(
+        spark, zero_norm_dir, spelling="shuffled", max_bucket=10,
+        on_oversize="skip").collect()
+    assert got == [] and similarity.LAST_OVERSIZE_ACC.value >= 1
+    # join spelling skip: JVM-side filter (no counter by design)
+    got = similarity.lsh_neardup_pairs(
+        spark, zero_norm_dir, spelling="join", max_bucket=10,
+        on_oversize="skip").collect()
+    assert got == []
+
+    # the default cap never fires on a legitimate corpus: bit-equal to
+    # the unguarded expectation pinned by test_lsh_zero_norm_parity
+    expect = {(a, b, 1.0) for a in range(20, 40) for b in range(a + 1, 40)}
+    kernel = {(r["va"], r["vb"], r["cos_sim"])
+              for r in similarity.lsh_neardup_pairs(
+                  spark, zero_norm_dir).collect()}
+    assert kernel == expect
