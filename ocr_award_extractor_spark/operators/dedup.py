@@ -268,20 +268,38 @@ def dedup_clusters_df(docs: DataFrame) -> DataFrame:
 
 
 def connected_components(docs: DataFrame, edges: DataFrame,
-                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+                         max_iters: int = CC_MAX_ITERS,
+                         reliable: bool = False) -> DataFrame:
     """Min-label propagation + pointer jumping over (src, dst) edges;
     docs(doc_id) supplies the vertex set (singletons included).
 
-    Scale-honesty note: localCheckpoint materializes to EXECUTOR storage
-    — fast, but an executor loss mid-computation loses the truncated
-    lineage and fails the job. On a long-running 1000-executor cluster
-    swap in reliable checkpointing (sc.setCheckpointDir + .checkpoint())
-    or stage each round to the job's scratch table; the iteration
-    structure is unchanged."""
+    Fault tolerance is a CONFIG CHOICE (r4 verdict #5): the default
+    localCheckpoint materializes to EXECUTOR storage — fast, but an
+    executor loss mid-computation loses the truncated lineage and fails
+    the job. ``reliable=True`` routes every per-round materialization
+    through reliable checkpointing instead (``.checkpoint()`` to the
+    cluster's ``sc.setCheckpointDir`` — HDFS/S3 on a real cluster), so a
+    lost executor recomputes from the last round's checkpoint rather
+    than killing a multi-hour 10⁹-vertex job. The iteration structure is
+    identical both ways (pinned by
+    tests/test_trainingdata_ops.py::test_connected_components_reliable).
+    The checkpoint dir is deliberately NOT auto-defaulted: on a cluster
+    it must be SHARED storage, and silently picking a driver-local tmp
+    path would produce checkpoints no executor can read back."""
+    if reliable and docs.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "connected_components(reliable=True) needs a reliable "
+            "checkpoint location: call sc.setCheckpointDir(<shared path, "
+            "e.g. hdfs://.../ckpt>) first"
+        )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
     # materialize once: every propagation round joins against edges, and
     # without this the edge-producing subtree (shingle→minhash→LSH when
     # called from dedup_clusters) re-executes per round
-    edges = edges.localCheckpoint()
+    edges = _ckpt(edges)
     labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
     prev_sum = None
     for _ in range(max_iters):
@@ -295,7 +313,7 @@ def connected_components(docs: DataFrame, edges: DataFrame,
         )
         # checkpoint BEFORE the self-join: cuts the per-round lineage AND
         # materializes the aggregate once (the join reads it twice)
-        new = new.localCheckpoint()
+        new = _ckpt(new)
         # pointer jumping: comp ← comp[comp] (comp values are doc_ids, so
         # the self-join always hits). Halves the remaining diameter every
         # round — convergence in O(log diameter) rounds, so the iteration
@@ -312,7 +330,7 @@ def connected_components(docs: DataFrame, edges: DataFrame,
         # materialize the jumped labels too: the fixpoint sum, the next
         # round's edge join, AND its union all read this frame — without
         # this the self-join re-executes three times per round
-        new = new.localCheckpoint()
+        new = _ckpt(new)
         # comp only ever DECREASES per doc, so sum(comp) strictly drops iff
         # any label changed — a one-aggregate fixpoint test (no diff join).
         # decimal(38,0) sum: with sparse 64-bit vertex ids (e.g. xxhash-

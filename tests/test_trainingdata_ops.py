@@ -395,3 +395,33 @@ def test_mega_bucket_guard_lsh_spellings(spark, zero_norm_dir):
               for r in similarity.lsh_neardup_pairs(
                   spark, zero_norm_dir).collect()}
     assert kernel == expect
+
+
+def test_connected_components_reliable(spark, tmp_path):
+    """reliable=True must (a) demand an explicit shared checkpoint dir —
+    auto-picking a driver-local path would be silently wrong on a real
+    cluster — and (b) produce components identical to the
+    localCheckpoint default once one is set."""
+    from pyspark.sql import functions as F2
+
+    from ocr_award_extractor_spark.operators.dedup import connected_components
+
+    docs = spark.range(12).select(F2.col("id").alias("doc_id"))
+    chain = spark.range(11).select(F2.col("id").alias("src"),
+                                   (F2.col("id") + 1).alias("dst"))
+    edges = chain.union(chain.select(F2.col("dst").alias("src"),
+                                     F2.col("src").alias("dst")))
+
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(docs, edges, reliable=True)
+        sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+
+    local = {(r["doc_id"], r["comp"])
+             for r in connected_components(docs, edges).collect()}
+    rel = {(r["doc_id"], r["comp"])
+           for r in connected_components(docs, edges,
+                                         reliable=True).collect()}
+    assert rel == local
+    assert {c for _, c in rel} == {0}     # the chain collapses either way
