@@ -289,12 +289,26 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError(
                 "windowed-counts stream did not finish in 600s")
-        # atomic publish of the finished snapshot as the permanent result
-        os.rename(out, result)
+        # atomic publish of the finished snapshot as the permanent result:
+        # the sink now publishes via a SYMLINK over alternating slot dirs
+        # (ADVICE r4 atomicity), so resolve to the real slot and rename
+        # THAT into place
+        os.rename(os.path.realpath(out), result)
     except BaseException:
         shutil.rmtree(os.path.join(base, "ck"), ignore_errors=True)
-        shutil.rmtree(out, ignore_errors=True)
+        if os.path.islink(out):
+            os.remove(out)
+        else:
+            shutil.rmtree(out, ignore_errors=True)
+        for slot in (out + ".v0", out + ".v1"):
+            shutil.rmtree(slot, ignore_errors=True)
         raise
+    # drop the sink's publishing artifacts (the symlink now dangles — its
+    # target was renamed away — and at most one stale slot remains)
+    if os.path.islink(out):
+        os.remove(out)
+    for slot in (out + ".v0", out + ".v1"):
+        shutil.rmtree(slot, ignore_errors=True)
     return spark.read.parquet(result)
 
 

@@ -388,3 +388,57 @@ def test_windowed_snapshot_survives_caught_up_reinvocation(spark, tmp_path):
                    run_windowed_counts_available_now(spark, str(src), ck)
                    .collect()))
     assert a == b and len(a) > 0
+
+
+def test_stream_dedup_state_ttl_expires(spark, tmp_path):
+    """state_ttl (r4 verdict #4): within the revisit horizon duplicates
+    are swallowed exactly as before; once the WATERMARK passes
+    first_ts + TTL the url's state is dropped, and a later revisit is
+    first-seen again and RE-EMITS. Four mtime-pinned single-file batches:
+    b0 seeds url a; b1 revisits a inside the horizon (swallowed) while b
+    advances the watermark past a's T+1day timeout; b2 runs the timeout
+    (state removed); b3 revisits a beyond the horizon (re-emitted)."""
+    from datetime import datetime, timedelta
+
+    from ocr_award_extractor_spark.streaming.extract_stream import (
+        stream_dedup_first_seen,
+    )
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    t0 = datetime(2024, 3, 1)
+
+    def page(u, ts_off_h):
+        return ("https://x.example/" + u, t0 + timedelta(hours=ts_off_h),
+                b"<html></html>", "", "en")
+
+    cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+    batches = [
+        [page("a", 0)],                       # b0: first sight of a
+        [page("a", 1), page("b", 48)],        # b1: a in-horizon dup; b
+                                              #     advances watermark to T+48h
+        [page("c", 48)],                      # b2: a's T+24h timeout fires
+        [page("a", 49)],                      # b3: a beyond horizon — re-emit
+    ]
+    for i, rows in enumerate(batches):
+        d = src / f"b{i}"
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(d))
+        for f in d.iterdir():                 # pin file-source order
+            os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    out = str(tmp_path / "out")
+    q = stream_dedup_first_seen(
+        spark, str(src) + "/*", str(tmp_path / "ck"), out,
+        max_files_per_trigger=1, state_ttl="1 day",
+    )
+    assert q.awaitTermination(300)
+    assert q.lastProgress["batchId"] >= 3     # all four batches ran
+
+    rows = sorted((r["url"], r["first_ts"])
+                  for r in spark.read.parquet(out).collect())
+    assert rows == [
+        ("https://x.example/a", t0),                        # first sight
+        ("https://x.example/a", t0 + timedelta(hours=49)),  # re-emitted
+        ("https://x.example/b", t0 + timedelta(hours=48)),
+        ("https://x.example/c", t0 + timedelta(hours=48)),
+    ]
