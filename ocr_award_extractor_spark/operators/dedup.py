@@ -192,16 +192,22 @@ def minhash_lsh_pairs_df(docs: DataFrame,
     pair_block = _PAIR_BLOCK_ELEMS   # closure copy: workers re-import the
     # module, a test-side monkeypatch must ride the serialized function
     check, mode = _check_bucket, on_oversize   # closure copies likewise
+    # id-type-generic (r4 verdict #6): a 128-bit doc_id rides as a hex
+    # STRING, whose numpy '<U' sort order equals Spark's string order
+    # (both by codepoint), so doc_a < doc_b stays engine-consistent
+    id_sql = docs.schema["doc_id"].dataType.simpleString()
+    id_is_int = id_sql in ("bigint", "int", "smallint", "tinyint")
 
     def kernel(batches):
         import numpy as np
         import pandas as pd
 
+        empty = np.empty(0, np.int64 if id_is_int else object)
         out_a, out_b = [], []
 
         def flush():
-            a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-            b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+            a = np.concatenate(out_a) if out_a else empty
+            b = np.concatenate(out_b) if out_b else empty
             return pd.DataFrame({"doc_a": a, "doc_b": b})
 
         n_buf = 0
@@ -209,7 +215,7 @@ def minhash_lsh_pairs_df(docs: DataFrame,
             for members in pdf["members"]:
                 if not check(len(members), cap, mode, "MinHash-LSH", acc):
                     continue
-                m = np.sort(np.asarray(members, dtype=np.int64))
+                m = np.sort(np.asarray(members))
                 for s, e, tri in _block_triangles(len(m), pair_block):
                     ri, rj = np.nonzero(tri)
                     if len(ri):
@@ -225,7 +231,7 @@ def minhash_lsh_pairs_df(docs: DataFrame,
         yield flush()
 
     return (
-        buckets.mapInPandas(kernel, "doc_a BIGINT, doc_b BIGINT")
+        buckets.mapInPandas(kernel, f"doc_a {id_sql}, doc_b {id_sql}")
         .distinct()                  # collapse multi-band duplicates
     )
 
@@ -301,6 +307,17 @@ def connected_components(docs: DataFrame, edges: DataFrame,
     # called from dedup_clusters) re-executes per round
     edges = _ckpt(edges)
     labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    # fixpoint test dispatch: integral ids use the one-aggregate decimal
+    # sum below; wider ids (the 128-bit hex-string doc_id option) would
+    # overflow ANY fixed decimal precision when summed, so they use an
+    # any-label-changed probe instead (one join against the previous
+    # round's checkpointed labels, early-out via isEmpty's limit 1)
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
+
+    integral = isinstance(docs.schema["doc_id"].dataType,
+                          (ByteType, ShortType, IntegerType, LongType))
     prev_sum = None
     for _ in range(max_iters):
         nbr = edges.join(labels, edges["src"] == labels["doc_id"]).select(
@@ -331,16 +348,25 @@ def connected_components(docs: DataFrame, edges: DataFrame,
         # round's edge join, AND its union all read this frame — without
         # this the self-join re-executes three times per round
         new = _ckpt(new)
-        # comp only ever DECREASES per doc, so sum(comp) strictly drops iff
-        # any label changed — a one-aggregate fixpoint test (no diff join).
-        # decimal(38,0) sum: with sparse 64-bit vertex ids (e.g. xxhash-
-        # derived) a non-ANSI int64 sum could wrap, and a wrapped-equal sum
-        # would end propagation early with wrong components
-        s = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        if integral:
+            # comp only ever DECREASES per doc, so sum(comp) strictly
+            # drops iff any label changed — a one-aggregate fixpoint test
+            # (no diff join). decimal(38,0) sum: with sparse 64-bit vertex
+            # ids (e.g. xxhash-derived) a non-ANSI int64 sum could wrap,
+            # and a wrapped-equal sum would end propagation early with
+            # wrong components
+            s = new.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+            done = s == prev_sum
+            prev_sum = s
+        else:
+            prev = labels.select(F.col("doc_id").alias("pid"),
+                                 F.col("comp").alias("pcomp"))
+            done = new.join(prev, F.col("doc_id") == F.col("pid")).where(
+                F.col("comp") != F.col("pcomp")).isEmpty()
         labels = new
-        if s == prev_sum:
+        if done:
             break
-        prev_sum = s
     return labels
 
 

@@ -17,10 +17,11 @@ no re-staging surprises, no stage silently re-running another's work.
 Scale shape: each stage is one scan of the previous stage's staged table
 plus that operator's own (already plan-audited) shuffles; filters are
 LEFT SEMI joins on doc_id so no column is duplicated and the big text
-column rides only the surviving rows. doc_id is xxhash64(url) — stable
-across runs/partitionings; at 640k docs the birthday-collision odds are
-~1e-8, and a production run over 10¹² urls would widen to a 128-bit hash
-the same way (documented tradeoff, not silent).
+column rides only the surviving rows. doc_id defaults to xxhash64(url) —
+stable across runs/partitionings; at 640k docs the birthday-collision
+odds are ~1e-8, but at 10¹² urls 64 bits guarantees collisions, so
+``--id-bits 128`` (doc_id_expr) switches to a two-salt xxhash64 hex pair
+and every downstream operator is id-type-generic (r4 verdict #6).
 
 Reference: this is NEW scope beyond certificate_ocr.py (strictly a
 single-directory batch extractor, :409-444) — the training-data pipeline
@@ -46,6 +47,24 @@ def _staged(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def doc_id_expr(id_bits: int = 64):
+    """The pipeline's stable document identity as a Column (r4 verdict
+    #6): 64-bit = xxhash64(url) — birthday-safe to ~10⁸ docs; 128-bit =
+    two differently-salted xxhash64 values as one 32-hex-char string —
+    the 10¹²-url spelling (collision odds ~10⁻¹³ at a trillion docs,
+    vs certainty-of-collisions at 64 bits). Hex is zero-padded so string
+    order is total and engine-consistent; every downstream operator
+    (dedup, gates, sampling, connected components) is id-type-generic."""
+    if id_bits == 64:
+        return F.xxhash64("url").alias("doc_id")
+    if id_bits == 128:
+        return F.concat(
+            F.lpad(F.hex(F.xxhash64("url")), 16, "0"),
+            F.lpad(F.hex(F.xxhash64("url", F.lit(1))), 16, "0"),
+        ).alias("doc_id")
+    raise ValueError(f"id_bits must be 64 or 128, got {id_bits}")
+
+
 def run_training_data_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -54,6 +73,7 @@ def run_training_data_pipeline(
     *,
     n_splits: int = 16,
     n_batches: int = 4,
+    id_bits: int = 64,
 ) -> dict:
     """Run the full chain; returns {"stages": [...], "total_sec": ...}
     with per-stage rows in/out and wall time. Stage outputs land under
@@ -93,7 +113,7 @@ def run_training_data_pipeline(
         # the dedup/gate operators speak (doc_id, text, lang); error rows
         # (status != success) leave the pipeline here, as in production
         docs = committed.where(F.col("status") == "success").select(
-            F.xxhash64("url").alias("doc_id"), "url",
+            doc_id_expr(id_bits), "url",
             F.col("ocr_text").alias("text"), "lang",
         )
         docs = _staged(docs, os.path.join(out_dir, "docs"))
@@ -166,6 +186,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None)
     p.add_argument("--n-splits", type=int, default=16)
     p.add_argument("--n-batches", type=int, default=4)
+    p.add_argument("--id-bits", type=int, default=64, choices=(64, 128),
+                   help="doc_id width: 64 = xxhash64(url); 128 = "
+                        "two-salt hex pair (the 10^12-url spelling)")
     args = p.parse_args(argv)
 
     from ocr_award_extractor_spark.config import get_spark
@@ -175,7 +198,8 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(args.input)
         summary = run_training_data_pipeline(
             spark, pages, args.output, args.run_id,
-            n_splits=args.n_splits, n_batches=args.n_batches)
+            n_splits=args.n_splits, n_batches=args.n_batches,
+            id_bits=args.id_bits)
         print(json.dumps(summary))
         return 0
     finally:
