@@ -109,6 +109,9 @@ from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
 from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
     guard_keyed_jvm as _guard_keyed_jvm,
 )
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    make_oversize_acc as _make_oversize_acc,
+)
 
 # Accumulator of the most recent skip-mode run (one per call; tests read
 # .value after forcing an action). None until a skip-mode plan is built.
@@ -116,16 +119,13 @@ LAST_OVERSIZE_ACC = None
 
 
 def _oversize_acc(df: DataFrame, on_oversize: str):
-    """A fresh oversize-bucket accumulator for skip mode (module global
-    LAST_OVERSIZE_ACC points at it so callers/tests can read the count
-    after an action); validates the mode eagerly at plan-build time."""
+    """Shared factory (pairblocks.make_oversize_acc) + this module's
+    LAST_OVERSIZE_ACC pointer."""
     global LAST_OVERSIZE_ACC
-    if on_oversize not in ("error", "skip"):
-        raise ValueError(f"unknown on_oversize: {on_oversize}")
-    if on_oversize != "skip":
-        return None
-    LAST_OVERSIZE_ACC = df.sparkSession.sparkContext.accumulator(0)
-    return LAST_OVERSIZE_ACC
+    acc = _make_oversize_acc(df, on_oversize)
+    if acc is not None:
+        LAST_OVERSIZE_ACC = acc
+    return acc
 
 
 def minhash_lsh_pairs_df(docs: DataFrame,
@@ -264,9 +264,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters_df(load_table(spark, sf_dir, "documents"))
 
 
-def dedup_clusters_df(docs: DataFrame) -> DataFrame:
-    """dedup_clusters for any (doc_id, text) frame."""
-    pairs = minhash_lsh_pairs_df(docs)
+def dedup_clusters_df(docs: DataFrame,
+                      max_bucket: int | None = None,
+                      on_oversize: str = "error") -> DataFrame:
+    """dedup_clusters for any (doc_id, text) frame. The mega-bucket
+    guard kwargs pass through to the pair enumeration — a corpus with
+    >max_bucket legitimately near-identical (non-exact-dup) docs in one
+    band bucket can choose ``on_oversize='skip'`` instead of failing."""
+    pairs = minhash_lsh_pairs_df(docs, max_bucket=max_bucket,
+                                 on_oversize=on_oversize)
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").union(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -291,7 +297,16 @@ def connected_components(docs: DataFrame, edges: DataFrame,
     tests/test_trainingdata_ops.py::test_connected_components_reliable).
     The checkpoint dir is deliberately NOT auto-defaulted: on a cluster
     it must be SHARED storage, and silently picking a driver-local tmp
-    path would produce checkpoints no executor can read back."""
+    path would produce checkpoints no executor can read back.
+
+    Storage footprint of reliable mode: ~2 label materializations per
+    round plus the edges frame accumulate under the checkpoint dir
+    (≈ 2·rounds+1 copies) and Spark does NOT delete them when the job
+    ends — the result frame still reads the last one lazily. Point
+    ``sc.setCheckpointDir`` at job-scoped scratch and delete it after
+    the result is written, or set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to let the
+    ContextCleaner reap checkpoints as their RDDs are GC'd."""
     if reliable and docs.sparkSession.sparkContext.getCheckpointDir() is None:
         raise ValueError(
             "connected_components(reliable=True) needs a reliable "

@@ -38,12 +38,26 @@ def check_bucket(k: int, cap: int, on_oversize: str, kind: str,
             acc.add(1)
         return False
     raise ValueError(
-        f"{kind} bucket has {k} members (> {cap}-member guard): an "
-        f"exact-duplicate flood is landing O(k^2)={k * (k - 1) // 2} "
-        f"pairs in one bucket. Run dedup_exact first (the documented "
-        f"contract), or pass on_oversize='skip' to drop oversize "
-        f"buckets and count them in the oversize accumulator."
+        f"{kind} bucket has {k} members (> {cap}-member guard), i.e. "
+        f"O(k^2)={k * (k - 1) // 2} pairs from one bucket. If exact "
+        f"duplicates may exist, run dedup_exact first (the documented "
+        f"contract); if they are already collapsed this is a legitimate "
+        f"near-duplicate flood (e.g. templated boilerplate) — pass "
+        f"on_oversize='skip' to drop-and-count oversize buckets, or "
+        f"raise max_bucket."
     )
+
+
+def make_oversize_acc(df, on_oversize: str):
+    """Validate the oversize mode eagerly (plan-build time) and return a
+    fresh Spark accumulator for skip mode, else None. Callers keep their
+    own module-global pointer to the last accumulator so tests can read
+    the count after an action."""
+    if on_oversize not in ("error", "skip"):
+        raise ValueError(f"unknown on_oversize: {on_oversize}")
+    if on_oversize != "skip":
+        return None
+    return df.sparkSession.sparkContext.accumulator(0)
 
 
 def guard_keyed_jvm(keyed, bucket_cols: list[str], cap: int,
@@ -65,7 +79,8 @@ def guard_keyed_jvm(keyed, bucket_cols: list[str], cap: int,
         return sized.where(F.col("_bk_n") <= F.lit(cap)).drop("_bk_n")
     msg = F.format_string(
         f"{kind} bucket has %s members (> {cap}-member guard): run "
-        f"dedup_exact first, or pass on_oversize='skip'",
+        f"dedup_exact first if exact copies may exist, else pass "
+        f"on_oversize='skip' (near-duplicate flood) or raise max_bucket",
         F.col("_bk_n").cast("string"),
     )
     # raise_error lives INSIDE the filter predicate (CaseWhen branches are

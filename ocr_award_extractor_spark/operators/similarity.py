@@ -337,6 +337,9 @@ from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
 from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
     guard_keyed_jvm as _guard_keyed_jvm,
 )
+from ocr_award_extractor_spark.operators.pairblocks import (  # noqa: E402
+    make_oversize_acc as _make_oversize_acc,
+)
 
 # Accumulator of the most recent skip-mode run (tests read .value after
 # forcing an action). None until a skip-mode plan is built.
@@ -344,15 +347,13 @@ LAST_OVERSIZE_ACC = None
 
 
 def _oversize_acc(df: DataFrame, on_oversize: str):
-    """A fresh oversize-bucket accumulator for skip mode (module global
-    LAST_OVERSIZE_ACC points at it); validates the mode eagerly."""
+    """Shared factory (pairblocks.make_oversize_acc) + this module's
+    LAST_OVERSIZE_ACC pointer."""
     global LAST_OVERSIZE_ACC
-    if on_oversize not in ("error", "skip"):
-        raise ValueError(f"unknown on_oversize: {on_oversize}")
-    if on_oversize != "skip":
-        return None
-    LAST_OVERSIZE_ACC = df.sparkSession.sparkContext.accumulator(0)
-    return LAST_OVERSIZE_ACC
+    acc = _make_oversize_acc(df, on_oversize)
+    if acc is not None:
+        LAST_OVERSIZE_ACC = acc
+    return acc
 
 
 def _score_one_bucket(m, sub, pair_block):
@@ -722,14 +723,18 @@ def ivf_topk_cosine(spark: SparkSession, sf_dir: str,
     )
 
 
-def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str,
+                               max_bucket: int | None = None,
+                               on_oversize: str = "error") -> DataFrame:
     """Embedding-side dedup clusters: connected components over the
     bucketed cosine near-dup pairs (component id = min vec_id = keeper) —
     the same keep-one-per-group step as the text-side dedup_clusters,
-    sharing its pointer-jumping propagation."""
+    sharing its pointer-jumping propagation. Mega-bucket guard kwargs
+    pass through to the pair scoring."""
     from ocr_award_extractor_spark.operators.dedup import connected_components
 
-    pairs = lsh_neardup_pairs(spark, sf_dir)
+    pairs = lsh_neardup_pairs(spark, sf_dir, max_bucket=max_bucket,
+                              on_oversize=on_oversize)
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
     edges = pairs.selectExpr("va AS src", "vb AS dst").union(
         pairs.selectExpr("vb AS src", "va AS dst")

@@ -74,6 +74,7 @@ def run_training_data_pipeline(
     n_splits: int = 16,
     n_batches: int = 4,
     id_bits: int = 64,
+    on_oversize: str = "error",
 ) -> dict:
     """Run the full chain; returns {"stages": [...], "total_sec": ...}
     with per-stage rows in/out and wall time. Stage outputs land under
@@ -139,7 +140,11 @@ def run_training_data_pipeline(
     uniq, n_uniq = stage("exact_dedup", n_gated, do_exact)
 
     def do_neardup():
-        comp = dedup_clusters_df(uniq)
+        # exact dedup already ran one stage earlier, so a guard trip here
+        # means a legitimate near-dup flood — on_oversize='skip' (CLI
+        # --on-oversize skip) drops-and-counts those buckets instead of
+        # failing the job
+        comp = dedup_clusters_df(uniq, on_oversize=on_oversize)
         keepers = comp.where(F.col("comp") == F.col("doc_id")).select("doc_id")
         kept = uniq.join(keepers, "doc_id", "left_semi")
         kept = _staged(kept, os.path.join(out_dir, "neardup_dedup"))
@@ -189,6 +194,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-bits", type=int, default=64, choices=(64, 128),
                    help="doc_id width: 64 = xxhash64(url); 128 = "
                         "two-salt hex pair (the 10^12-url spelling)")
+    p.add_argument("--on-oversize", default="error",
+                   choices=("error", "skip"),
+                   help="near-dup mega-bucket guard action (exact dedup "
+                        "has already run by that stage, so 'skip' is the "
+                        "escape hatch for legitimate near-dup floods)")
     args = p.parse_args(argv)
 
     from ocr_award_extractor_spark.config import get_spark
@@ -199,7 +209,7 @@ def main(argv: list[str] | None = None) -> int:
         summary = run_training_data_pipeline(
             spark, pages, args.output, args.run_id,
             n_splits=args.n_splits, n_batches=args.n_batches,
-            id_bits=args.id_bits)
+            id_bits=args.id_bits, on_oversize=args.on_oversize)
         print(json.dumps(summary))
         return 0
     finally:

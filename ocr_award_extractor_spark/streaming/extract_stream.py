@@ -200,7 +200,7 @@ def stream_dedup_first_seen(
     max_files_per_trigger: int | None = None,
     sink_transform=None,
     state_ttl: str | None = None,
-    watermark: str = "0 seconds",
+    watermark: str | None = None,
 ):
     """Custom STATEFUL streaming operator: exact URL dedup across
     microbatches via applyInPandasWithState — the streaming spelling of
@@ -216,9 +216,16 @@ def stream_dedup_first_seen(
     again and re-emits (pinned by
     tests/test_streaming.py::test_stream_dedup_state_ttl_expires). The
     default stays NoTimeout — state never expires, the exact
-    oracle-graded semantics. With a TTL the stream carries a watermark
-    of ``watermark`` delay, so events arriving later than that behind
-    the max seen warc_ts are dropped as late data (standard policy).
+    oracle-graded semantics. An event-time TTL REQUIRES a watermark, and
+    the watermark is also a LATE-DATA filter: an event more than the
+    delay behind the max seen warc_ts is dropped before the dedup
+    operator — including a never-seen url, which the no-TTL path would
+    have emitted. ``watermark`` therefore defaults to the TTL itself
+    (an event can arrive out of order by up to the revisit horizon
+    before it is lost — aligned bounds, not a silent zero-delay trap);
+    pass a tighter delay explicitly to trade state size for late-data
+    tolerance. Passing ``watermark`` without ``state_ttl`` raises — the
+    exact path carries no watermark and would silently ignore it.
 
     Sink: the SAME idempotent batch_id-keyed parquet sink as
     stream_extract (r3 verdict #2 cleared the memory-sink nit). The
@@ -231,6 +238,9 @@ def stream_dedup_first_seen(
 
     from ocr_award_extractor_spark.operators.webify import PAGE_SCHEMA
 
+    if watermark is not None and state_ttl is None:
+        raise ValueError("watermark= only applies with state_ttl= "
+                         "(the exact path carries no watermark)")
     reader = spark.readStream.schema(PAGE_SCHEMA).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -239,7 +249,8 @@ def stream_dedup_first_seen(
         import pandas as pd
 
         ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
-        pages = pages.withWatermark("warc_ts", watermark)
+        pages = pages.withWatermark(
+            "warc_ts", watermark if watermark is not None else state_ttl)
 
         def fn(key, pdfs, state, _ttl=ttl_ms):
             return _dedup_first_seen_ttl_fn(key, pdfs, state, _ttl)

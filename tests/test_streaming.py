@@ -426,10 +426,20 @@ def test_stream_dedup_state_ttl_expires(spark, tmp_path):
         for f in d.iterdir():                 # pin file-source order
             os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
 
+    import pytest
+
+    with pytest.raises(ValueError, match="state_ttl"):
+        stream_dedup_first_seen(          # watermark without a TTL would
+            spark, str(src) + "/*",       # be silently ignored — rejected
+            str(tmp_path / "ckbad"), str(tmp_path / "outbad"),
+            watermark="1 hour")
+
     out = str(tmp_path / "out")
+    # explicit 0s watermark: the scenario needs the watermark to track
+    # the max seen warc_ts exactly (the default delay equals the TTL)
     q = stream_dedup_first_seen(
         spark, str(src) + "/*", str(tmp_path / "ck"), out,
-        max_files_per_trigger=1, state_ttl="1 day",
+        max_files_per_trigger=1, state_ttl="1 day", watermark="0 seconds",
     )
     assert q.awaitTermination(300)
     assert q.lastProgress["batchId"] >= 3     # all four batches ran
