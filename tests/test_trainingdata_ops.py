@@ -425,3 +425,22 @@ def test_connected_components_reliable(spark, tmp_path):
                                          reliable=True).collect()}
     assert rel == local
     assert {c for _, c in rel} == {0}     # the chain collapses either way
+
+
+def test_dedup_clusters_guard_passthrough(spark, flood_dir):
+    """The guard kwargs reach clustering (review r5): on the planted
+    flood, default error mode fails loud at a tiny cap, while
+    on_oversize='skip' completes — the escape hatch a legitimate
+    near-dup flood needs once exact dedup has already run."""
+    from ocr_award_extractor_spark.operators import dedup
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, flood_dir, "documents")
+    with pytest.raises(Exception, match="member guard"):
+        dedup.dedup_clusters_df(docs, max_bucket=8).collect()
+    comp = {r["doc_id"]: r["comp"]
+            for r in dedup.dedup_clusters_df(
+                docs, max_bucket=8, on_oversize="skip").collect()}
+    assert dedup.LAST_OVERSIZE_ACC.value >= 1
+    assert len(comp) == 32                 # every doc labeled
+    assert comp[31] == 31                  # unrelated singleton intact
