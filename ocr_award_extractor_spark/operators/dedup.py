@@ -387,27 +387,35 @@ def connected_components(docs: DataFrame, edges: DataFrame,
 
 # ---------------------------------------------------------------- simhash
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over whitespace tokens (occurrence-weighted): per-bit
-    majority vote of token-hash bits, one explode + two-level aggregation."""
+    """32-bit SimHash over whitespace tokens (occurrence-weighted):
+    per-bit majority vote of token-hash bits.
+
+    Scale shape (round-5 rewrite): ONE token explode and ONE shuffle —
+    the 32 per-bit votes ride as 32 partial-aggregatable sum columns on
+    the doc_id groupBy (each combines map-side), and the final hash is a
+    pure projection over the vote row. The previous spelling exploded a
+    bit index per token (a 32× row blowup feeding a (doc_id, bit)
+    shuffle, then a second per-doc shuffle) — at crawl scale that is 32×
+    the shuffle input for the same information. Values are identical
+    (same votes, same majority, same bit weights), so the DuckDB oracle
+    is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
     v = toks.select("doc_id", _md5_int(F.col("tok")).alias("v"))
-    bits = v.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(SIM_BITS - 1))).alias("b"), "v"
-    ).select(
-        "doc_id", "b",
-        F.when(F.expr("(v >> b) & 1") == 1, 1).otherwise(-1).alias("c"),
-    )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum("c").alias("vote"))
-    return (
-        votes.groupBy("doc_id")
-        .agg(F.sum(
-            F.when(F.col("vote") > 0,
-                   F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0))
-        ).alias("simhash"))
-    )
+    votes = v.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.expr(f"(v >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"vote{b}")
+        for b in range(SIM_BITS)
+    ])
+    hash_col = None
+    for b in range(SIM_BITS):
+        term = F.when(F.col(f"vote{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        hash_col = term if hash_col is None else hash_col + term
+    return votes.select("doc_id", hash_col.alias("simhash"))
 
 
 # ------------------------------------------------------- n-gram Jaccard
