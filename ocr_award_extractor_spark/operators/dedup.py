@@ -394,11 +394,12 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 32 per-bit votes ride as 32 partial-aggregatable sum columns on
     the doc_id groupBy (each combines map-side), and the final hash is a
     pure projection over the vote row. The previous spelling exploded a
-    bit index per token (a 32× row blowup feeding a (doc_id, bit)
-    shuffle, then a second per-doc shuffle) — at crawl scale that is 32×
-    the shuffle input for the same information. Values are identical
-    (same votes, same majority, same bit weights), so the DuckDB oracle
-    is unchanged."""
+    bit index per token: its (doc_id, bit) partial agg still combined
+    map-side, but the 32× row blowup ran through the whole map-side
+    pipeline and a SECOND per-doc shuffle followed — one exchange and no
+    intermediate blowup is strictly the better plan (executed plan
+    pinned at one Exchange). Values are identical (same votes, same
+    majority, same bit weights), so the DuckDB oracle is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
