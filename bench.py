@@ -108,12 +108,31 @@ def run_extract_job(spark, pages_path: str, cores: int,
     return wall, agg["docs"]
 
 
+def _window_busy(cores: int) -> float:
+    """Busy-loop throughput (work units/s) at ``cores`` procs measured
+    NOW, in this process's scheduling window. Each scale worker samples
+    this next to its own timed Spark runs, so cross-width efficiency can
+    be normalized by what the HOST was actually delivering to each
+    window — the post-hoc single-window ceiling can't tell a throttled
+    lo-width window from a real scaling loss (three of four round-5
+    samples calibrated above 1.0, i.e. the calibration window itself was
+    throttled)."""
+    import multiprocessing as mp
+
+    with mp.Pool(cores) as pool:
+        t0 = time.perf_counter()
+        pool.map(_busy, [2_000_000] * cores * 4)
+        return cores * 4 / (time.perf_counter() - t0)
+
+
 def scale_worker(cores: int, n_runs: int = 2) -> None:
     """Subprocess entry: fresh JVM at local[cores]; warms codegen/workers
     on a small slice, then times the full salt-free run (the corpus is
     uniformly pre-partitioned into ~1MB splits, so the skew-defusing
     shuffle would only add a constant tax — salting is benched separately
-    in the headline). Prints one JSON line."""
+    in the headline). Samples the window's busy-loop throughput next to
+    each timed run (best Spark run pairs with the busy sample taken
+    right after it). Prints one JSON line."""
     from ocr_award_extractor_spark.config import get_spark
 
     spark = get_spark(f"bench-scale-{cores}", master=f"local[{cores}]",
@@ -125,10 +144,13 @@ def scale_worker(cores: int, n_runs: int = 2) -> None:
 
     warm = spark.read.parquet(path).limit(2000)
     extract_documents(warm).count()
-    runs = [run_extract_job(spark, path, cores, salt=False) for _ in range(n_runs)]
-    wall = min(w for w, _ in runs)
-    n = runs[0][1]
-    print(json.dumps({"cores": cores, "wall_sec": wall, "docs": n}))
+    runs = []
+    for _ in range(n_runs):
+        wall, n = run_extract_job(spark, path, cores, salt=False)
+        runs.append((wall, n, _window_busy(cores)))
+    wall, n, busy = min(runs, key=lambda r: r[0])
+    print(json.dumps({"cores": cores, "wall_sec": wall, "docs": n,
+                      "window_busy": round(busy, 2)}))
     spark.stop()
 
 
@@ -189,8 +211,22 @@ def run_scaling() -> dict:
             "hardware_ceiling_efficiency": round(ceiling / (hi / lo), 3),
             "efficiency_vs_hardware": round(speedup / ceiling, 3),
         }
+        # window-normalized: each width's busy-loop sample was taken in
+        # ITS OWN JVM's scheduling window, so host throttling of either
+        # window divides out — this is the docs-per-busy-unit ratio
+        # (dps_hi/busy_hi) / (dps_lo/busy_lo), where 1.0 means Spark
+        # scaled exactly as well as the hardware itself did between the
+        # two windows. The honest cross-width number on a steal-prone
+        # box; the post-hoc single-window ceiling above cannot separate
+        # a throttled calibration window from a real scaling loss.
+        busy_lo = results[lo].get("window_busy")
+        busy_hi = results[hi].get("window_busy")
+        if busy_lo and busy_hi:
+            pairs[f"{lo}x4"]["window_normalized_efficiency"] = round(
+                speedup / (busy_hi / busy_lo), 3)
         log(f"  pair local[{lo}]->local[{hi}]: eff={pairs[f'{lo}x4']['efficiency']} "
-            f"(hw ceiling {pairs[f'{lo}x4']['hardware_ceiling_efficiency']})")
+            f"(hw ceiling {pairs[f'{lo}x4']['hardware_ceiling_efficiency']}, "
+            f"window-normalized {pairs[f'{lo}x4'].get('window_normalized_efficiency')})")
     return {
         "docs_per_sec": {f"local[{c}]": round(r["docs_per_sec"], 1) for c, r in results.items()},
         "wall_sec": {f"local[{c}]": round(r["wall_sec"], 2) for c, r in results.items()},
