@@ -1,0 +1,105 @@
+"""WARC ingestion source: synthesized WARC/1.0 files (plain and
+gzip-member-per-record, the Common Crawl layout) must parse into the
+engine's page schema, skip non-response records, surface corrupt
+records as error rows, and compose with the extraction pipeline."""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime
+
+
+def _record(wtype: str, url: str | None, date: str, block: bytes) -> bytes:
+    hdrs = [b"WARC/1.0",
+            b"WARC-Type: " + wtype.encode(),
+            b"WARC-Date: " + date.encode()]
+    if url is not None:
+        hdrs.append(b"WARC-Target-URI: " + url.encode())
+    hdrs.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(hdrs) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def _http(body: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+HTML_A = b"<html><body><p>alpha page</p></body></html>"
+HTML_B = b"<html><body><p>beta page</p></body></html>"
+
+
+def _good_records() -> list[bytes]:
+    return [
+        _record("warcinfo", None, "2024-03-01T00:00:00Z",
+                b"software: testgen\r\n"),
+        _record("response", "https://a.example/x",
+                "2024-03-01T01:02:03Z", _http(HTML_A)),
+        _record("request", "https://a.example/x",
+                "2024-03-01T01:02:03Z", b"GET /x HTTP/1.1\r\n"),
+        _record("response", "https://b.example/y",
+                "2024-03-02T04:05:06Z", _http(HTML_B)),
+    ]
+
+
+def test_warc_plain_and_gzip_parse_identically(spark, tmp_path):
+    from ocr_award_extractor_spark.sources.warc import read_warc
+
+    plain_dir, gz_dir = tmp_path / "plain", tmp_path / "gz"
+    plain_dir.mkdir(), gz_dir.mkdir()
+    recs = _good_records()
+    (plain_dir / "crawl.warc").write_bytes(b"".join(recs))
+    # Common Crawl layout: one gzip MEMBER per record, concatenated
+    (gz_dir / "crawl.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs))
+
+    for d in (plain_dir, gz_dir):
+        rows = {r["url"]: r for r in read_warc(spark, str(d)).collect()}
+        assert set(rows) == {"https://a.example/x", "https://b.example/y"}
+        a = rows["https://a.example/x"]
+        assert bytes(a["html"]) == HTML_A          # HTTP envelope stripped
+        assert a["warc_ts"] == datetime(2024, 3, 1, 1, 2, 3)
+        assert a["text"] == "" and a["lang"] == ""
+        assert bytes(rows["https://b.example/y"]["html"]) == HTML_B
+
+
+def test_warc_corruption_becomes_error_rows_not_silence(spark, tmp_path):
+    from ocr_award_extractor_spark.sources.warc import read_warc
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    good = _record("response", "https://ok.example/", "2024-03-01T00:00:00Z",
+                   _http(HTML_A))
+    # truncated: Content-Length exceeds actual block bytes
+    bad = good[:-20]
+    (d / "good.warc").write_bytes(good)
+    (d / "bad.warc").write_bytes(bad)
+
+    rows = read_warc(spark, str(d)).collect()
+    by_url = {r["url"]: r for r in rows}
+    assert "https://ok.example/" in by_url          # good file unaffected
+    errs = [r for r in rows if r["url"].startswith("warc-error://")]
+    assert len(errs) == 1 and "bad.warc" in errs[0]["url"]
+    assert "truncated" in errs[0]["text"]           # cause is visible
+    # a response record missing its target URI is an error row too
+    no_uri = _record("response", None, "2024-03-01T00:00:00Z", _http(HTML_B))
+    (d / "nouri.warc").write_bytes(no_uri)
+    rows = read_warc(spark, str(d)).collect()
+    assert any("missing WARC-Target-URI" in r["text"] for r in rows)
+
+
+def test_warc_pages_flow_through_extraction(spark, tmp_path):
+    """The parsed pages are real PAGE_SCHEMA rows: the flagship
+    extraction stage runs on them unchanged (WARC → extract is the
+    composed crawl-ingest path the north rule describes)."""
+    from ocr_award_extractor_spark.operators.extract_pipeline import (
+        extract_documents,
+    )
+    from ocr_award_extractor_spark.sources.warc import read_warc
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "crawl.warc").write_bytes(b"".join(_good_records()))
+    out = {r["url"]: r for r in
+           extract_documents(read_warc(spark, str(d))).collect()}
+    assert set(out) == {"https://a.example/x", "https://b.example/y"}
+    a = out["https://a.example/x"]
+    assert a["status"] == "success" and "alpha page" in a["ocr_text"]
