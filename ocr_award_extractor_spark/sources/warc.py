@@ -161,3 +161,113 @@ def read_warc(spark: SparkSession, path: str,
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(kernel, PAGE_SCHEMA)
+
+
+# --------------------------------------------------------------- WET out
+def write_wet(extracted: DataFrame, out_dir: str,
+              text_col: str = "ocr_text") -> int:
+    """Write extraction output as WET shards (WARC/1.0 ``conversion``
+    records, gzip member per record — the format crawl consumers already
+    read) under ``out_dir``: one ``part-NNNNN.warc.wet.gz`` per
+    non-empty partition, each task writing tmp + os.rename so a killed
+    job leaves no half-visible shard (same commit idiom as
+    plans/lineage.py). Returns the number of records written.
+
+    Scale shape: pure ``foreachPartition`` — every task serializes its
+    own rows and writes its own shard to the shared filesystem; no
+    shuffle, no driver data path, shard count = partition count (control
+    it upstream with repartition/coalesce). Only ``status == 'success'``
+    rows are written when a status column exists; the text column is
+    UTF-8 encoded and byte-identical on read-back
+    (tests/test_warc_source.py::test_wet_roundtrip_byte_identical)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = ["url", text_col] + (
+        ["warc_ts"] if "warc_ts" in extracted.columns else [])
+    if "status" in extracted.columns:
+        from pyspark.sql import functions as F
+
+        extracted = extracted.where(F.col("status") == "success")
+    rows = extracted.select(*cols)
+    spark = rows.sparkSession
+    acc = spark.sparkContext.accumulator(0)
+
+    def writer(it):
+        import gzip
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        members = []
+        for row in it:
+            text = (row[text_col] or "").encode("utf-8")
+            ts = row["warc_ts"] if "warc_ts" in cols else None
+            date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
+                    else "1970-01-01T00:00:00Z")
+            rec = (b"WARC/1.0\r\n"
+                   b"WARC-Type: conversion\r\n"
+                   b"WARC-Target-URI: " + row["url"].encode("utf-8")
+                   + b"\r\nWARC-Date: " + date.encode("ascii")
+                   + b"\r\nContent-Type: text/plain\r\n"
+                   b"Content-Length: " + str(len(text)).encode("ascii")
+                   + b"\r\n\r\n" + text + b"\r\n\r\n")
+            members.append(gzip.compress(rec))
+            acc.add(1)
+        if not members:
+            return
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(members))
+        os.rename(tmp, path)
+
+    rows.foreachPartition(writer)
+    return acc.value
+
+
+def read_wet(spark: SparkSession, path: str,
+             glob: str = "*.wet*") -> DataFrame:
+    """WET shards → (url, warc_ts, text): one row per ``conversion``
+    record, the read-back side of :func:`write_wet` (same
+    parse_warc_bytes core as read_warc; same error-row contract with
+    the message in ``text`` and a ``warc-error://`` url)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def kernel(batches):
+        import gzip
+        import os
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("url", "warc_ts", "text")}
+            for path_str, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(path_str)
+                data = bytes(content)
+                try:
+                    if data[:2] == b"\x1f\x8b":
+                        data = gzip.decompress(data)
+                    for idx, wtype, headers, block in parse_warc_bytes(data):
+                        if wtype != "conversion":
+                            continue
+                        rows["url"].append(
+                            headers.get("warc-target-uri", ""))
+                        rows["warc_ts"].append(
+                            _parse_ts(headers.get("warc-date", "")))
+                        rows["text"].append(block.decode("utf-8", "replace"))
+                except Exception as e:  # noqa: BLE001 — error-row contract
+                    rows["url"].append(f"warc-error://{name}#stream")
+                    rows["warc_ts"].append(None)
+                    rows["text"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(kernel,
+                             "url string, warc_ts timestamp, text string")

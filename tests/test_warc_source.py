@@ -103,3 +103,34 @@ def test_warc_pages_flow_through_extraction(spark, tmp_path):
     assert set(out) == {"https://a.example/x", "https://b.example/y"}
     a = out["https://a.example/x"]
     assert a["status"] == "success" and "alpha page" in a["ocr_text"]
+
+
+def test_wet_roundtrip_byte_identical(spark, tmp_path):
+    """WARC in → extract → WET out → read back: the extracted text per
+    url survives the WET serialization BYTE-IDENTICALLY (the north
+    rule's per-row invariant, carried through the output format crawl
+    consumers read), timestamps intact, error rows excluded."""
+    from ocr_award_extractor_spark.operators.extract_pipeline import (
+        extract_documents,
+    )
+    from ocr_award_extractor_spark.sources.tables import load_fixture
+    from ocr_award_extractor_spark.sources.warc import read_wet, write_wet
+
+    docs = load_fixture(spark, n_docs=50)      # fixture plants ~2 error docs
+    extracted = extract_documents(docs)
+    out = str(tmp_path / "wet")
+    n = write_wet(extracted.repartition(4), out)
+
+    ok = {r["url"]: (r["ocr_text"], r["warc_ts"])
+          for r in extracted.where("status = 'success'").collect()}
+    assert n == len(ok) and n > 0              # only success rows written
+
+    back = {r["url"]: (r["text"], r["warc_ts"])
+            for r in read_wet(spark, out).collect()}
+    assert back == ok                          # byte-identical text + ts
+
+    import os
+
+    shards = [f for f in os.listdir(out) if f.endswith(".warc.wet.gz")]
+    assert 1 <= len(shards) <= 4               # one shard per non-empty part
+    assert not any(f.endswith(".tmp") for f in os.listdir(out))
