@@ -25,6 +25,13 @@ a record that cannot be parsed becomes a row with ``url =
 message in ``text`` — corrupt records are COUNTED AND VISIBLE, never
 silently dropped, and never kill the file.
 
+Kernel memory bound: binaryFile packs WHOLE files into partitions of
+~``spark.sql.files.maxPartitionBytes`` (a larger file gets a partition
+to itself), so an Arrow batch holds at most one partition's files —
+peak kernel memory is ~max(maxPartitionBytes, largest file) plus its
+decompressed form, NOT batch-row-count × file-size. Size
+maxPartitionBytes against executor memory when shards are large.
+
 Format notes (public WARC/1.0 spec, ISO 28500): records are
 ``WARC/1.0\\r\\n`` + header lines + ``\\r\\n`` + Content-Length bytes of
 block + ``\\r\\n\\r\\n``. Common Crawl compresses one record per gzip
