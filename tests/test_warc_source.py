@@ -134,3 +134,34 @@ def test_wet_roundtrip_byte_identical(spark, tmp_path):
     shards = [f for f in os.listdir(out) if f.endswith(".warc.wet.gz")]
     assert 1 <= len(shards) <= 4               # one shard per non-empty part
     assert not any(f.endswith(".tmp") for f in os.listdir(out))
+
+
+def test_warc_parser_roundtrip_fuzz():
+    """Property: any serialize(records) → parse_warc_bytes roundtrip
+    recovers every record's type, URI, and block bytes exactly —
+    including empty blocks, binary bodies, and odd header values (the
+    parser is pure Python, so this runs without Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_award_extractor_spark.sources.warc import parse_warc_bytes
+
+    wtypes = st.sampled_from(["response", "request", "warcinfo",
+                              "metadata", "conversion"])
+    # URIs/bodies: no CR/LF in header values (the format forbids them);
+    # block bytes unconstrained (Content-Length delimits)
+    uris = st.text(st.characters(min_codepoint=33, max_codepoint=126),
+                   min_size=1, max_size=40)
+    blocks = st.binary(min_size=0, max_size=200)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(wtypes, uris, blocks), min_size=0,
+                    max_size=8))
+    def check(recs):
+        blob = b"".join(
+            _record(t, u, "2024-03-01T00:00:00Z", b) for t, u, b in recs)
+        got = [(wtype, headers.get("warc-target-uri"), block)
+               for _, wtype, headers, block in parse_warc_bytes(blob)]
+        assert got == [(t, u, b) for t, u, b in recs]
+
+    check()
