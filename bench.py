@@ -157,16 +157,10 @@ def scale_worker(cores: int, n_runs: int = 2) -> None:
 def _cpu_ceiling(lo: int, hi: int) -> float:
     """Raw multi-process busy-loop speedup lo->hi procs on THIS box — the
     hardware ceiling (frequency scaling under full load makes it < hi/lo).
-    Spark efficiency should be judged against this, not against hi/lo."""
-    import multiprocessing as mp
-
-    def measure(procs: int) -> float:
-        with mp.Pool(procs) as pool:
-            t0 = time.perf_counter()
-            pool.map(_busy, [2_000_000] * procs * 4)
-            return procs * 4 / (time.perf_counter() - t0)
-
-    return measure(hi) / measure(lo)
+    Spark efficiency should be judged against this, not against hi/lo.
+    Same probe as the per-window samples (_window_busy) so the two
+    normalizations stay calibrated against each other."""
+    return _window_busy(hi) / _window_busy(lo)
 
 
 def _busy(n: int) -> int:

@@ -1,5 +1,6 @@
 """WARC ingestion source: raw Common-Crawl-style WARC files → the
-engine's page schema (url, warc_ts, html, text, lang).
+engine's page schema (url, warc_ts, html, text, lang) — plus WET output
+for the extraction results.
 
 The reference ingests a directory of image files
 (certificate_ocr.py:419-430, one os.listdir sweep); the web-scale analog
@@ -13,17 +14,18 @@ module reads it Spark-first with NO external WARC library:
   parallelizes on file count, the same strategy Spark's own
   binary/whole-file sources use);
 * an Arrow-batched ``mapInPandas`` kernel parses each file's records —
-  header block, Content-Length-delimited body, HTTP header/body split —
-  and emits one page row per ``response`` record. Parsing is pure
-  per-file Python over bytes the executor already holds: no shuffle, no
-  driver involvement, and downstream operators see exactly the
-  ``webify.PAGE_SCHEMA`` shape the rest of the engine speaks.
+  header block, Content-Length-delimited body, HTTP envelope decode
+  (chunked transfer + gzip/deflate content-encoding) — and emits one
+  page row per ``response`` record in exactly the ``webify.PAGE_SCHEMA``
+  shape the rest of the engine speaks. No shuffle, no driver data path.
 
 Error contract (mirrors the extraction pipeline's error-row contract):
-a record that cannot be parsed becomes a row with ``url =
-"warc-error://<file>#<record_index>"``, empty html, and the error
-message in ``text`` — corrupt records are COUNTED AND VISIBLE, never
-silently dropped, and never kill the file.
+anything unparseable becomes a VISIBLE error row — ``url =
+"warc-error://<file>#<ref>"``, empty html, the positioned message in
+``text`` — at the granularity of the broken thing: a corrupt gzip
+member or record RESYNCS to the next member/record marker instead of
+killing the rest of the file, and a bad HTTP payload (truncated chunked
+framing, undecodable content-encoding) errors that one record only.
 
 Kernel memory bound: binaryFile packs WHOLE files into partitions of
 ~``spark.sql.files.maxPartitionBytes`` (a larger file gets a partition
@@ -35,8 +37,8 @@ maxPartitionBytes against executor memory when shards are large.
 Format notes (public WARC/1.0 spec, ISO 28500): records are
 ``WARC/1.0\\r\\n`` + header lines + ``\\r\\n`` + Content-Length bytes of
 block + ``\\r\\n\\r\\n``. Common Crawl compresses one record per gzip
-member; ``gzip.decompress`` handles multi-member streams, so the same
-parser serves .warc and .warc.gz.
+member; the member-wise decompressor below handles that layout and
+plain concatenation alike.
 """
 
 from __future__ import annotations
@@ -45,69 +47,208 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CRLF = b"\r\n"
 _HDR_END = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+# ------------------------------------------------------------- record parse
+def _parse_one(data: bytes, pos: int, idx: int):
+    """Parse ONE record at ``pos``; returns ((wtype, headers, block),
+    next_pos) or raises ValueError with a positioned message."""
+    if not data.startswith(b"WARC/", pos):
+        raise ValueError(f"record {idx}: expected WARC/ marker at byte {pos}")
+    hdr_end = data.find(_HDR_END, pos)
+    if hdr_end < 0:
+        raise ValueError(f"record {idx}: unterminated header block")
+    header_lines = data[pos:hdr_end].split(_CRLF)
+    headers = {}
+    for line in header_lines[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("ascii", "replace")] = \
+            v.strip().decode("utf-8", "replace")
+    try:
+        length = int(headers["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError(f"record {idx}: missing/bad Content-Length")
+    body_start = hdr_end + len(_HDR_END)
+    block = data[body_start:body_start + length]
+    if len(block) != length:
+        raise ValueError(f"record {idx}: truncated block "
+                         f"({len(block)} of {length} bytes)")
+    return (headers.get("warc-type", ""), headers, block), body_start + length
 
 
 def parse_warc_bytes(data: bytes):
-    """Yield (record_index, warc_type, headers_dict, block_bytes) for
-    every record in a (decompressed) WARC byte stream. Raises ValueError
-    with a positioned message on structural corruption; the Spark kernel
-    converts per-record failures into error rows."""
-    pos = 0
-    idx = 0
-    n = len(data)
+    """STRICT parse: yield (record_index, warc_type, headers_dict,
+    block_bytes) for every record; raises ValueError on the first
+    structural corruption (the Spark kernels use the resyncing
+    iterator below instead)."""
+    pos, idx, n = 0, 0, len(data)
     while pos < n:
-        # tolerate inter-record padding
-        while pos < n and data[pos:pos + 2] == _CRLF:
+        while pos < n and data[pos:pos + 2] == _CRLF:   # padding
             pos += 2
         if pos >= n:
             return
-        if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"record {idx}: expected WARC/ marker at "
-                             f"byte {pos}")
-        hdr_end = data.find(_HDR_END, pos)
-        if hdr_end < 0:
-            raise ValueError(f"record {idx}: unterminated header block")
-        header_lines = data[pos:hdr_end].split(_CRLF)
-        headers = {}
-        for line in header_lines[1:]:
-            k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode("ascii", "replace")] = \
-                v.strip().decode("utf-8", "replace")
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError(f"record {idx}: missing/bad Content-Length")
-        body_start = hdr_end + len(_HDR_END)
-        block = data[body_start:body_start + length]
-        if len(block) != length:
-            raise ValueError(f"record {idx}: truncated block "
-                             f"({len(block)} of {length} bytes)")
-        yield idx, headers.get("warc-type", ""), headers, block
-        pos = body_start + length
+        (wtype, headers, block), pos = _parse_one(data, pos, idx)
+        yield idx, wtype, headers, block
         idx += 1
 
 
-def _http_body(block: bytes) -> bytes:
-    """Strip the HTTP response envelope from a response record's block
-    (status line + headers end at the first CRLFCRLF); a block without
-    an HTTP envelope is returned whole (resource records, lenient)."""
-    if block.startswith(b"HTTP/"):
-        split = block.find(_HDR_END)
-        if split >= 0:
-            return block[split + len(_HDR_END):]
-    return block
+def iter_records_resync(data: bytes):
+    """Lenient parse: yield ``('ok', idx, wtype, headers, block)`` per
+    record and ``('err', idx, message)`` per corrupt one, RESYNCING at
+    the next ``\\r\\nWARC/`` marker — one bad record costs one error
+    row, never the rest of the stream."""
+    pos, idx, n = 0, 0, len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == _CRLF:   # padding
+            pos += 2
+        if pos >= n:
+            return
+        try:
+            (wtype, headers, block), pos = _parse_one(data, pos, idx)
+            yield "ok", idx, wtype, headers, block
+        except ValueError as e:
+            yield "err", idx, str(e)
+            nxt = data.find(_CRLF + b"WARC/", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt + len(_CRLF)
+        idx += 1
+
+
+def gunzip_members(data: bytes):
+    """Member-wise multi-member gzip decompression with RESYNC: returns
+    (decompressed_bytes, [error messages]). A corrupt or truncated
+    member is reported and skipped by scanning for the next gzip magic —
+    the Common Crawl one-record-per-member layout means one bad member
+    loses one record, not the file."""
+    import zlib
+
+    out, errs = [], []
+    pos, member, n = 0, 0, len(data)
+    while pos < n:
+        try:
+            d = zlib.decompressobj(31)      # gzip wrapper
+            chunk = d.decompress(data[pos:])
+            chunk += d.flush()
+            if not d.eof:
+                raise zlib.error("truncated member")
+            out.append(chunk)
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:
+                raise zlib.error("no progress")
+            pos += consumed
+        except Exception as e:  # noqa: BLE001 — converted to error rows
+            errs.append(f"gzip member {member} at byte {pos}: {e}")
+            nxt = data.find(_GZ_MAGIC, pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+        member += 1
+    return b"".join(out), errs
+
+
+def file_records(name: str, raw: bytes):
+    """All records of one WARC file as ``('ok', idx, wtype, headers,
+    block)`` / ``('err', ref, message)`` items: gzip-sniffed,
+    member-resynced, record-resynced. The single iteration core both
+    Spark kernels (read_warc, read_wet) consume."""
+    data = raw
+    if raw[:3] == _GZ_MAGIC or raw[:2] == b"\x1f\x8b":
+        data, gz_errs = gunzip_members(raw)
+        for i, msg in enumerate(gz_errs):
+            yield "err", f"{name}#gz{i}", msg
+    for item in iter_records_resync(data):
+        if item[0] == "ok":
+            yield item
+        else:
+            yield "err", f"{name}#{item[1]}", item[2]
+
+
+# --------------------------------------------------------- HTTP envelope
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing; ValueError on bad
+    framing (the caller error-rows that record)."""
+    out, pos = [], 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line")
+        try:
+            size = int(body[pos:eol].split(b";")[0], 16)
+        except ValueError:
+            raise ValueError("chunked: bad size line")
+        pos = eol + 2
+        if size == 0:
+            return b"".join(out)
+        chunk = body[pos:pos + size]
+        if len(chunk) != size:
+            raise ValueError("chunked: truncated chunk")
+        out.append(chunk)
+        pos += size + 2        # chunk CRLF
+
+
+def http_payload(block: bytes) -> bytes:
+    """Actual page bytes from a response record's block: strips the HTTP
+    envelope, undoes ``Transfer-Encoding: chunked`` and
+    ``Content-Encoding: gzip/x-gzip/deflate`` (real Common Crawl
+    response records preserve both). A block without an HTTP envelope is
+    returned whole (resource records, lenient); an undecodable payload
+    raises ValueError → one error row."""
+    import gzip
+    import zlib
+
+    if not block.startswith(b"HTTP/"):
+        return block
+    split = block.find(_HDR_END)
+    if split < 0:
+        return block
+    headers = {}
+    for line in block[:split].split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("ascii", "replace")] = \
+            v.strip().decode("ascii", "replace").lower()
+    body = block[split + len(_HDR_END):]
+    if "chunked" in headers.get("transfer-encoding", ""):
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "")
+    try:
+        if ce in ("gzip", "x-gzip"):
+            body = gzip.decompress(body)
+        elif ce == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:                 # raw-deflate variant
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+        elif ce and ce != "identity":
+            raise ValueError(f"unsupported Content-Encoding: {ce}")
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"bad {ce} payload: {e}")
+    return body
 
 
 def _parse_ts(s: str):
-    """WARC-Date (ISO-8601 Zulu) → naive UTC datetime, None if absent."""
+    """WARC-Date (ISO-8601 Zulu, optional fractional seconds) → naive
+    UTC datetime, None if absent/unparseable."""
     import datetime
 
-    try:
-        return datetime.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
-    except ValueError:
-        return None
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            return datetime.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
 
 
+def _format_ts(ts) -> str:
+    if ts.microsecond:
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+# ------------------------------------------------------------------- read
 def read_warc(spark: SparkSession, path: str,
               glob: str = "*.warc*") -> DataFrame:
     """WARC files under ``path`` → a PAGE_SCHEMA DataFrame (url, warc_ts,
@@ -126,7 +267,6 @@ def read_warc(spark: SparkSession, path: str,
     )
 
     def kernel(batches):
-        import gzip
         import os
 
         import pandas as pd
@@ -143,28 +283,26 @@ def read_warc(spark: SparkSession, path: str,
 
             for path_str, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path_str)
-                data = bytes(content)
-                try:
-                    if data[:2] == b"\x1f\x8b":
-                        data = gzip.decompress(data)   # multi-member OK
-                    records = parse_warc_bytes(data)
-                    while True:
-                        try:
-                            idx, wtype, headers, block = next(records)
-                        except StopIteration:
-                            break
-                        if wtype != "response":
-                            continue      # warcinfo/request/metadata
-                        url = headers.get("warc-target-uri", "")
-                        if not url:
-                            emit(f"warc-error://{name}#{idx}", None, b"",
-                                 "missing WARC-Target-URI")
-                            continue
-                        emit(url, _parse_ts(headers.get("warc-date", "")),
-                             _http_body(block), "")
-                except Exception as e:  # noqa: BLE001 — error-row contract
-                    emit(f"warc-error://{name}#stream", None, b"",
-                         f"{type(e).__name__}: {e}")
+                for item in file_records(name, bytes(content)):
+                    if item[0] == "err":
+                        emit(f"warc-error://{item[1]}", None, b"", item[2])
+                        continue
+                    _, idx, wtype, headers, block = item
+                    if wtype != "response":
+                        continue      # warcinfo/request/metadata
+                    url = headers.get("warc-target-uri", "")
+                    if not url:
+                        emit(f"warc-error://{name}#{idx}", None, b"",
+                             "missing WARC-Target-URI")
+                        continue
+                    try:
+                        body = http_payload(block)
+                    except ValueError as e:
+                        emit(f"warc-error://{name}#{idx}", None, b"",
+                             f"{e} (url: {url})")
+                        continue
+                    emit(url, _parse_ts(headers.get("warc-date", "")),
+                         body, "")
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(kernel, PAGE_SCHEMA)
@@ -172,13 +310,28 @@ def read_warc(spark: SparkSession, path: str,
 
 # --------------------------------------------------------------- WET out
 def write_wet(extracted: DataFrame, out_dir: str,
-              text_col: str = "ocr_text") -> int:
+              text_col: str = "ocr_text", mode: str = "error") -> int:
     """Write extraction output as WET shards (WARC/1.0 ``conversion``
     records, gzip member per record — the format crawl consumers already
     read) under ``out_dir``: one ``part-NNNNN.warc.wet.gz`` per
-    non-empty partition, each task writing tmp + os.rename so a killed
-    job leaves no half-visible shard (same commit idiom as
-    plans/lineage.py). Returns the number of records written.
+    non-empty partition, each task STREAMING records into a tmp file
+    (O(record) memory, not O(partition)) committed by os.rename, so a
+    killed job leaves no half-visible shard (same idiom as
+    plans/lineage.py; tmp names contain no ``.wet`` so read_wet's glob
+    can never see them). Returns the number of records written.
+
+    ``mode``: ``'error'`` (default, like Spark writers) refuses an
+    out_dir that already holds WET shards — a rerun with different
+    partitioning would otherwise leave stale shards that read-back
+    merges in; ``'overwrite'`` clears existing shards (and stale tmps)
+    first.
+
+    Record hygiene: every record carries a deterministic
+    ``WARC-Record-ID`` (uuid5 of url+date — spec-mandatory, and
+    reproducible across reruns); CR/LF in urls is percent-escaped so a
+    hostile url cannot smuggle headers into the record framing;
+    ``WARC-Date`` preserves microseconds and is OMITTED for a NULL
+    warc_ts (read_wet returns None — no silent epoch substitution).
 
     Scale shape: pure ``foreachPartition`` — every task serializes its
     own rows and writes its own shard to the shared filesystem; no
@@ -187,9 +340,22 @@ def write_wet(extracted: DataFrame, out_dir: str,
     rows are written when a status column exists; the text column is
     UTF-8 encoded and byte-identical on read-back
     (tests/test_warc_source.py::test_wet_roundtrip_byte_identical)."""
+    import glob as globmod
     import os
 
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"unknown mode: {mode}")
     os.makedirs(out_dir, exist_ok=True)
+    existing = globmod.glob(os.path.join(out_dir, "part-*.warc.wet.gz"))
+    stale_tmp = globmod.glob(os.path.join(out_dir, ".part-*.tmp"))
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"{out_dir} already holds {len(existing)} WET shard(s); pass "
+            f"mode='overwrite' to replace them (a rerun with different "
+            f"partitioning would otherwise leave stale shards)")
+    for p in existing + stale_tmp:
+        os.remove(p)
+
     cols = ["url", text_col] + (
         ["warc_ts"] if "warc_ts" in extracted.columns else [])
     if "status" in extracted.columns:
@@ -199,6 +365,7 @@ def write_wet(extracted: DataFrame, out_dir: str,
     rows = extracted.select(*cols)
     spark = rows.sparkSession
     acc = spark.sparkContext.accumulator(0)
+    has_ts = "warc_ts" in cols
 
     def writer(it):
         import gzip
@@ -207,40 +374,57 @@ def write_wet(extracted: DataFrame, out_dir: str,
 
         from pyspark import TaskContext
 
-        members = []
-        for row in it:
-            text = (row[text_col] or "").encode("utf-8")
-            ts = row["warc_ts"] if "warc_ts" in cols else None
-            date = (ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None
-                    else "1970-01-01T00:00:00Z")
-            rec = (b"WARC/1.0\r\n"
-                   b"WARC-Type: conversion\r\n"
-                   b"WARC-Target-URI: " + row["url"].encode("utf-8")
-                   + b"\r\nWARC-Date: " + date.encode("ascii")
-                   + b"\r\nContent-Type: text/plain\r\n"
-                   b"Content-Length: " + str(len(text)).encode("ascii")
-                   + b"\r\n\r\n" + text + b"\r\n\r\n")
-            members.append(gzip.compress(rec))
-            acc.add(1)
-        if not members:
-            return
+        f = None
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
-        tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(b"".join(members))
-        os.rename(tmp, path)
+        tmp = os.path.join(out_dir,
+                           f".part-{pid:05d}-{uuid.uuid4().hex[:8]}.tmp")
+        try:
+            for row in it:
+                text = (row[text_col] or "").encode("utf-8")
+                # CR/LF cannot appear in a header value — escape, don't
+                # let a hostile url split the framing
+                url = (row["url"].replace("\r", "%0D")
+                       .replace("\n", "%0A").encode("utf-8"))
+                ts = row["warc_ts"] if has_ts else None
+                rid = uuid.uuid5(uuid.NAMESPACE_URL,
+                                 row["url"] + "|" + str(ts))
+                hdrs = [b"WARC/1.0",
+                        b"WARC-Type: conversion",
+                        b"WARC-Record-ID: <urn:uuid:" +
+                        str(rid).encode("ascii") + b">",
+                        b"WARC-Target-URI: " + url]
+                if ts is not None:
+                    hdrs.append(b"WARC-Date: " +
+                                _format_ts(ts).encode("ascii"))
+                hdrs.append(b"Content-Type: text/plain")
+                hdrs.append(b"Content-Length: "
+                            + str(len(text)).encode("ascii"))
+                rec = (b"\r\n".join(hdrs) + _HDR_END + text + _HDR_END)
+                if f is None:          # lazy: empty partitions write nothing
+                    f = open(tmp, "wb")
+                f.write(gzip.compress(rec))
+                acc.add(1)
+            if f is not None:
+                f.close()
+                os.rename(tmp, path)
+        except BaseException:
+            if f is not None:
+                f.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
 
     rows.foreachPartition(writer)
     return acc.value
 
 
 def read_wet(spark: SparkSession, path: str,
-             glob: str = "*.wet*") -> DataFrame:
+             glob: str = "*.warc.wet.gz") -> DataFrame:
     """WET shards → (url, warc_ts, text): one row per ``conversion``
-    record, the read-back side of :func:`write_wet` (same
-    parse_warc_bytes core as read_warc; same error-row contract with
-    the message in ``text`` and a ``warc-error://`` url)."""
+    record, the read-back side of :func:`write_wet` (same file_records
+    core as read_warc — gzip/member/record resync and the error-row
+    contract with the message in ``text`` and a ``warc-error://`` url)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -249,7 +433,6 @@ def read_wet(spark: SparkSession, path: str,
     )
 
     def kernel(batches):
-        import gzip
         import os
 
         import pandas as pd
@@ -258,22 +441,19 @@ def read_wet(spark: SparkSession, path: str,
             rows = {k: [] for k in ("url", "warc_ts", "text")}
             for path_str, content in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path_str)
-                data = bytes(content)
-                try:
-                    if data[:2] == b"\x1f\x8b":
-                        data = gzip.decompress(data)
-                    for idx, wtype, headers, block in parse_warc_bytes(data):
-                        if wtype != "conversion":
-                            continue
-                        rows["url"].append(
-                            headers.get("warc-target-uri", ""))
-                        rows["warc_ts"].append(
-                            _parse_ts(headers.get("warc-date", "")))
-                        rows["text"].append(block.decode("utf-8", "replace"))
-                except Exception as e:  # noqa: BLE001 — error-row contract
-                    rows["url"].append(f"warc-error://{name}#stream")
-                    rows["warc_ts"].append(None)
-                    rows["text"].append(f"{type(e).__name__}: {e}")
+                for item in file_records(name, bytes(content)):
+                    if item[0] == "err":
+                        rows["url"].append(f"warc-error://{item[1]}")
+                        rows["warc_ts"].append(None)
+                        rows["text"].append(item[2])
+                        continue
+                    _, idx, wtype, headers, block = item
+                    if wtype != "conversion":
+                        continue
+                    rows["url"].append(headers.get("warc-target-uri", ""))
+                    rows["warc_ts"].append(
+                        _parse_ts(headers.get("warc-date", "")))
+                    rows["text"].append(block.decode("utf-8", "replace"))
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(kernel,

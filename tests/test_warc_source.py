@@ -165,3 +165,132 @@ def test_warc_parser_roundtrip_fuzz():
         assert got == [(t, u, b) for t, u, b in recs]
 
     check()
+
+
+def test_warc_resync_one_bad_record_costs_one_row(spark, tmp_path):
+    """Mid-file corruption: the parser RESYNCS at the next record marker
+    — one error row for the junk, every later record still parsed (the
+    old stream-level except dropped the rest of the file)."""
+    from ocr_award_extractor_spark.sources.warc import read_warc
+
+    d = tmp_path / "resync"
+    d.mkdir()
+    good1 = _record("response", "https://one.example/",
+                    "2024-03-01T00:00:00Z", _http(HTML_A))
+    good2 = _record("response", "https://two.example/",
+                    "2024-03-01T00:00:01Z", _http(HTML_B))
+    (d / "crawl.warc").write_bytes(good1 + b"JUNK not a record\r\n\r\n"
+                                   + good2)
+    rows = read_warc(spark, str(d)).collect()
+    urls = {r["url"] for r in rows}
+    assert {"https://one.example/", "https://two.example/"} <= urls
+    errs = [r for r in rows if r["url"].startswith("warc-error://")]
+    assert len(errs) == 1 and "WARC/ marker" in errs[0]["text"]
+
+
+def test_warc_gzip_member_resync(spark, tmp_path):
+    """Common Crawl layout, one corrupt gzip MEMBER in the middle: the
+    member-wise decompressor skips to the next magic — both neighboring
+    records survive, the corruption is one visible error row."""
+    from ocr_award_extractor_spark.sources.warc import read_warc
+
+    d = tmp_path / "gzresync"
+    d.mkdir()
+    g1 = gzip.compress(_record("response", "https://one.example/",
+                               "2024-03-01T00:00:00Z", _http(HTML_A)))
+    g2 = gzip.compress(_record("response", "https://two.example/",
+                               "2024-03-01T00:00:01Z", _http(HTML_B)))
+    corrupt = g1[:40]                    # truncated member, magic intact
+    (d / "crawl.warc.gz").write_bytes(g1 + corrupt + g2)
+    rows = read_warc(spark, str(d)).collect()
+    urls = {r["url"] for r in rows}
+    assert {"https://one.example/", "https://two.example/"} <= urls
+    errs = [r for r in rows if r["url"].startswith("warc-error://")]
+    assert len(errs) == 1 and "gzip member" in errs[0]["text"]
+
+
+def test_warc_http_payload_decoding(spark, tmp_path):
+    """Real crawl response envelopes: chunked transfer framing is
+    de-chunked, Content-Encoding: gzip is decompressed, and an
+    unsupported encoding becomes an error row naming the url — never
+    silently-garbled 'success' html."""
+    from ocr_award_extractor_spark.sources.warc import read_warc
+
+    d = tmp_path / "http"
+    d.mkdir()
+    chunked_body = (b"%x\r\n" % len(HTML_A[:10]) + HTML_A[:10] + b"\r\n"
+                    + b"%x\r\n" % len(HTML_A[10:]) + HTML_A[10:] + b"\r\n"
+                    + b"0\r\n\r\n")
+    chunked = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               + chunked_body)
+    gzipped = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+               + gzip.compress(HTML_B))
+    br = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxxx"
+    recs = [
+        _record("response", "https://chunked.example/",
+                "2024-03-01T00:00:00Z", chunked),
+        _record("response", "https://gzipped.example/",
+                "2024-03-01T00:00:01Z", gzipped),
+        _record("response", "https://brotli.example/",
+                "2024-03-01T00:00:02Z", br),
+    ]
+    (d / "crawl.warc").write_bytes(b"".join(recs))
+    rows = {r["url"]: r for r in read_warc(spark, str(d)).collect()}
+    assert bytes(rows["https://chunked.example/"]["html"]) == HTML_A
+    assert bytes(rows["https://gzipped.example/"]["html"]) == HTML_B
+    err = [r for u, r in rows.items() if u.startswith("warc-error://")]
+    assert len(err) == 1
+    assert "Content-Encoding: br" in err[0]["text"]
+    assert "brotli.example" in err[0]["text"]   # url visible in the message
+
+
+def test_wet_writer_hygiene(spark, tmp_path):
+    """WET writer contracts from the round-5 review: NULL timestamps
+    survive as NULL (no epoch substitution), microseconds survive, urls
+    with CR/LF cannot smuggle headers, every record carries a
+    WARC-Record-ID, a leftover tmp is invisible to read_wet, and a
+    non-empty dir is refused without mode='overwrite'."""
+    import os
+    from datetime import datetime
+
+    import pytest
+
+    from ocr_award_extractor_spark.sources.warc import read_wet, write_wet
+
+    rows = [
+        ("https://a.example/x", None, "plain text a"),
+        ("https://b.example/y", datetime(2024, 3, 1, 1, 2, 3, 500000),
+         "text b"),
+        ("https://evil.example/\r\nContent-Length: 0", None, "smuggle"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "ocr_text string")
+    out = str(tmp_path / "wet")
+    n = write_wet(df.coalesce(1), out)
+    assert n == 3
+    # a stale tmp from a killed task must not be readable
+    (tmp_path / "wet" / ".part-00099-deadbeef.tmp").write_bytes(b"junk")
+
+    back = {r["url"]: (r["warc_ts"], r["text"])
+            for r in read_wet(spark, str(out)).collect()}
+    assert back["https://a.example/x"] == (None, "plain text a")
+    assert back["https://b.example/y"] == (
+        datetime(2024, 3, 1, 1, 2, 3, 500000), "text b")
+    # CR/LF escaped: the record parses and the url is percent-encoded
+    assert back["https://evil.example/%0D%0AContent-Length: 0"][1] == \
+        "smuggle"
+    assert not any(u.startswith("warc-error://") for u in back)
+
+    # spec-mandatory record ids present in the raw shard
+    import gzip as gz
+
+    shard = [f for f in os.listdir(out) if f.endswith(".warc.wet.gz")][0]
+    raw = gz.decompress(open(os.path.join(out, shard), "rb").read())
+    assert raw.count(b"WARC-Record-ID: <urn:uuid:") == 3
+
+    # rerun protection: error by default, overwrite clears stale shards
+    with pytest.raises(FileExistsError, match="overwrite"):
+        write_wet(df.coalesce(1), out)
+    n2 = write_wet(df.limit(1).coalesce(1), out, mode="overwrite")
+    assert n2 == 1
+    assert len(read_wet(spark, str(out)).collect()) == 1  # no ghosts
