@@ -39,8 +39,18 @@ _STREAM_TAIL = re.compile(rb"(.*?)\r?\nendstream", re.DOTALL)
 # exactly. `(?!\s*\d+\s+R)` rejects indirect references ('/Length 5 0 R'),
 # whose object number must NOT be read as a byte count.
 _STREAM_LEN = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
-_TEXT_BLOCK = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _PDF_STRING = rb"\((?:\\.|[^\\()])*\)"
+# BT…ET as TOKENS, with string literals consumed atomically inside the
+# body: a show-text literal containing "ET" (…"(NET gains) Tj"…, or a
+# line that IS "ET" — hypothesis found it) must not terminate the block
+# mid-string, and "/FNET"-style names must not either (letter-boundary
+# guards both sides). An unmatched stray '(' makes the body alternation
+# fail and drops that block — acceptable degradation for malformed input.
+_TEXT_BLOCK = re.compile(
+    rb"(?<![A-Za-z])BT(?![A-Za-z])"
+    rb"((?:" + _PDF_STRING + rb"|[^(])*?)"
+    rb"(?<![A-Za-z])ET(?![A-Za-z])",
+    re.DOTALL)
 _SHOW_TJ = re.compile(_PDF_STRING + rb"\s*Tj")
 _SHOW_ARRAY = re.compile(rb"\[((?:" + _PDF_STRING + rb"|[^\]])*)\]\s*TJ")
 _LITERAL = re.compile(_PDF_STRING)

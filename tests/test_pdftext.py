@@ -178,3 +178,15 @@ def test_payload_ending_in_stream_keyword():
            + b" /Filter /FlateDecode >>\nstream\n" + nxt + b"\nendstream\n")
     assert list(_iter_streams(pdf)) == [evil, nxt]
     assert extract_pdf_lines(pdf) == ["second stream text"]
+
+
+def test_et_inside_string_literal_does_not_truncate_block():
+    """Regression (hypothesis, round 5): a show-text literal containing
+    'ET' — or a line that IS 'ET' — must not terminate the BT…ET block
+    mid-string; token-boundary names like /FNET must not either."""
+    assert extract_pdf_lines(make_simple_pdf(["ET"])) == ["ET"]
+    assert extract_pdf_lines(make_simple_pdf(["NET gains BT losses"])) == \
+        ["NET gains BT losses"]
+    pdf = (b"%PDF-1.4\nstream\n"
+           b"BT /FNET 12 Tf (kept) Tj ET\nendstream\n")
+    assert extract_pdf_lines(pdf) == ["kept"]
