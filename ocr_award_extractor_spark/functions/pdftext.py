@@ -39,19 +39,60 @@ _STREAM_TAIL = re.compile(rb"(.*?)\r?\nendstream", re.DOTALL)
 # exactly. `(?!\s*\d+\s+R)` rejects indirect references ('/Length 5 0 R'),
 # whose object number must NOT be read as a byte count.
 _STREAM_LEN = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
-_PDF_STRING = rb"\((?:\\.|[^\\()])*\)"
-# BT…ET as TOKENS, with string literals consumed atomically inside the
-# body: a show-text literal containing "ET" (…"(NET gains) Tj"…, or a
-# line that IS "ET" — hypothesis found it) must not terminate the block
-# mid-string, and "/FNET"-style names must not either (letter-boundary
-# guards both sides). An unmatched stray '(' makes the body alternation
-# fail and drops that block — acceptable degradation for malformed input.
-_TEXT_BLOCK = re.compile(
-    rb"(?<![A-Za-z])BT(?![A-Za-z])"
-    rb"((?:" + _PDF_STRING + rb"|[^(])*?)"
-    rb"(?<![A-Za-z])ET(?![A-Za-z])",
-    re.DOTALL)
+# Literal string incl. ONE level of spec-legal balanced nested parens
+# (PDF 7.3.4.2); deeper nesting is handled by the block SCANNER below
+# (arbitrary depth) but not by the show-text extraction regexes.
+_PDF_STRING = rb"\((?:\\.|[^\\()]|\((?:\\.|[^\\()])*\))*\)"
 _SHOW_TJ = re.compile(_PDF_STRING + rb"\s*Tj")
+
+
+def _find_text_blocks(content: bytes) -> list[bytes]:
+    """Bodies of the BT…ET text objects, via a STRING-AWARE linear scan:
+    parenthesized literals (arbitrary nesting depth, escape-aware) are
+    skipped atomically, and BT/ET only count at letter boundaries — so a
+    show-text line that contains (or IS) "ET"/"BT", or a name like
+    /FNET, can never open or close a block (the previous lazy
+    ``BT(.*?)ET`` regex terminated at an ET inside a literal — found by
+    hypothesis — and the string-alternation regex that replaced it
+    dropped whole blocks on spec-legal nested parens)."""
+    blocks: list[bytes] = []
+    i, n = 0, len(content)
+    start = None
+
+    def is_tok(j: int, word: bytes) -> bool:
+        end = j + len(word)
+        if content[j:end] != word:
+            return False
+        before = content[j - 1:j]
+        after = content[end:end + 1]
+        return not before.isalpha() and not after.isalpha()
+
+    while i < n:
+        c = content[i:i + 1]
+        if c == b"(":
+            depth, i = 1, i + 1
+            while i < n and depth:
+                ch = content[i:i + 1]
+                if ch == b"\\":
+                    i += 2
+                    continue
+                if ch == b"(":
+                    depth += 1
+                elif ch == b")":
+                    depth -= 1
+                i += 1
+            continue
+        if start is None and c == b"B" and is_tok(i, b"BT"):
+            i += 2
+            start = i
+            continue
+        if start is not None and c == b"E" and is_tok(i, b"ET"):
+            blocks.append(content[start:i])
+            start = None
+            i += 2
+            continue
+        i += 1
+    return blocks
 _SHOW_ARRAY = re.compile(rb"\[((?:" + _PDF_STRING + rb"|[^\]])*)\]\s*TJ")
 _LITERAL = re.compile(_PDF_STRING)
 _OCTAL = re.compile(rb"\\([0-7]{1,3})")
@@ -140,8 +181,7 @@ def extract_pdf_lines(data: bytes) -> list[str]:
             content = zlib.decompress(payload)
         except zlib.error:
             content = payload
-        for block in _TEXT_BLOCK.finditer(content):
-            body = block.group(1)
+        for body in _find_text_blocks(content):
             events: list[tuple[int, str]] = []
             for sm in _SHOW_TJ.finditer(body):
                 lit = _LITERAL.match(sm.group(0))

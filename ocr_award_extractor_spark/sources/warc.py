@@ -116,31 +116,51 @@ def iter_records_resync(data: bytes):
         idx += 1
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def gunzip_members(data: bytes):
     """Member-wise multi-member gzip decompression with RESYNC: returns
     (decompressed_bytes, [error messages]). A corrupt or truncated
     member is reported and skipped by scanning for the next gzip magic —
     the Common Crawl one-record-per-member layout means one bad member
-    loses one record, not the file."""
+    loses one record, not the file.
+
+    LINEAR in file size: input is fed through zero-copy memoryview
+    slices with GEOMETRIC feed sizing (4 KB doubling to 1 MB per
+    member), so ``unused_data`` after a member boundary copies at most
+    ~the member's own size — feeding the whole remaining tail per member
+    (the obvious spelling) copies O(members × filesize) on a
+    one-member-per-record CC shard, and a fixed large chunk still
+    copies chunk-size bytes per tiny member."""
     import zlib
 
+    mv = memoryview(data)
     out, errs = [], []
     pos, member, n = 0, 0, len(data)
     while pos < n:
+        start = pos
         try:
             d = zlib.decompressobj(31)      # gzip wrapper
-            chunk = d.decompress(data[pos:])
-            chunk += d.flush()
+            parts = []
+            fed = start
+            feed = 4096
+            while not d.eof and fed < n:
+                end = min(fed + feed, n)
+                parts.append(d.decompress(mv[fed:end]))
+                fed = end
+                feed = min(feed * 2, _GZ_CHUNK)
+            parts.append(d.flush())
             if not d.eof:
                 raise zlib.error("truncated member")
-            out.append(chunk)
-            consumed = (n - pos) - len(d.unused_data)
+            consumed = (fed - start) - len(d.unused_data)
             if consumed <= 0:
                 raise zlib.error("no progress")
-            pos += consumed
+            out.append(b"".join(parts))
+            pos = start + consumed
         except Exception as e:  # noqa: BLE001 — converted to error rows
-            errs.append(f"gzip member {member} at byte {pos}: {e}")
-            nxt = data.find(_GZ_MAGIC, pos + 1)
+            errs.append(f"gzip member {member} at byte {start}: {e}")
+            nxt = data.find(_GZ_MAGIC, start + 1)
             if nxt < 0:
                 break
             pos = nxt
@@ -152,9 +172,16 @@ def file_records(name: str, raw: bytes):
     """All records of one WARC file as ``('ok', idx, wtype, headers,
     block)`` / ``('err', ref, message)`` items: gzip-sniffed,
     member-resynced, record-resynced. The single iteration core both
-    Spark kernels (read_warc, read_wet) consume."""
+    Spark kernels (read_warc, read_wet) consume.
+
+    Resync honesty: the record-level resync scans for the next
+    ``\\r\\nWARC/`` marker, which a corrupt record's BODY could contain
+    (a crawled page quoting a WARC example) — heuristic recovery can
+    then emit a quoted record as real. The gzip-member layout (what
+    Common Crawl actually ships) does not have this ambiguity: member
+    boundaries delimit records independently of their contents."""
     data = raw
-    if raw[:3] == _GZ_MAGIC or raw[:2] == b"\x1f\x8b":
+    if raw[:2] == b"\x1f\x8b":
         data, gz_errs = gunzip_members(raw)
         for i, msg in enumerate(gz_errs):
             yield "err", f"{name}#gz{i}", msg
@@ -184,8 +211,13 @@ def _dechunk(body: bytes) -> bytes:
         chunk = body[pos:pos + size]
         if len(chunk) != size:
             raise ValueError("chunked: truncated chunk")
+        # the CRLF after each chunk is mandatory — advancing blindly
+        # lets a mis-declared size resynchronize onto garbage that
+        # happens to parse as the next size line (silently-spliced html)
+        if body[pos + size:pos + size + 2] != _CRLF:
+            raise ValueError("chunked: missing chunk terminator")
         out.append(chunk)
-        pos += size + 2        # chunk CRLF
+        pos += size + 2
 
 
 def http_payload(block: bytes) -> bytes:
@@ -309,6 +341,11 @@ def read_warc(spark: SparkSession, path: str,
 
 
 # --------------------------------------------------------------- WET out
+# Accumulator counting rows write_wet skipped (NULL url) in the most
+# recent call — visible-not-fatal contract for bogus upstream rows.
+LAST_WET_SKIPPED_ACC = None
+
+
 def write_wet(extracted: DataFrame, out_dir: str,
               text_col: str = "ocr_text", mode: str = "error") -> int:
     """Write extraction output as WET shards (WARC/1.0 ``conversion``
@@ -365,6 +402,9 @@ def write_wet(extracted: DataFrame, out_dir: str,
     rows = extracted.select(*cols)
     spark = rows.sparkSession
     acc = spark.sparkContext.accumulator(0)
+    skipped = spark.sparkContext.accumulator(0)
+    global LAST_WET_SKIPPED_ACC
+    LAST_WET_SKIPPED_ACC = skipped
     has_ts = "warc_ts" in cols
 
     def writer(it):
@@ -375,20 +415,31 @@ def write_wet(extracted: DataFrame, out_dir: str,
         from pyspark import TaskContext
 
         f = None
+        seq = 0
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
         tmp = os.path.join(out_dir,
                            f".part-{pid:05d}-{uuid.uuid4().hex[:8]}.tmp")
         try:
             for row in it:
+                if row["url"] is None:
+                    # a record without a target URI is unwritable; skip
+                    # VISIBLY (counted) rather than killing the job on
+                    # one bogus upstream row
+                    skipped.add(1)
+                    continue
                 text = (row[text_col] or "").encode("utf-8")
                 # CR/LF cannot appear in a header value — escape, don't
                 # let a hostile url split the framing
                 url = (row["url"].replace("\r", "%0D")
                        .replace("\n", "%0A").encode("utf-8"))
                 ts = row["warc_ts"] if has_ts else None
+                # unique per RECORD (spec-mandatory), deterministic for
+                # a fixed partitioning: duplicate (url, ts) rows must
+                # not share an id
                 rid = uuid.uuid5(uuid.NAMESPACE_URL,
-                                 row["url"] + "|" + str(ts))
+                                 f"{row['url']}|{ts}|{pid}|{seq}")
+                seq += 1
                 hdrs = [b"WARC/1.0",
                         b"WARC-Type: conversion",
                         b"WARC-Record-ID: <urn:uuid:" +
@@ -420,7 +471,7 @@ def write_wet(extracted: DataFrame, out_dir: str,
 
 
 def read_wet(spark: SparkSession, path: str,
-             glob: str = "*.warc.wet.gz") -> DataFrame:
+             glob: str = "*.wet*") -> DataFrame:
     """WET shards → (url, warc_ts, text): one row per ``conversion``
     record, the read-back side of :func:`write_wet` (same file_records
     core as read_warc — gzip/member/record resync and the error-row

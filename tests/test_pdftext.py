@@ -190,3 +190,18 @@ def test_et_inside_string_literal_does_not_truncate_block():
     pdf = (b"%PDF-1.4\nstream\n"
            b"BT /FNET 12 Tf (kept) Tj ET\nendstream\n")
     assert extract_pdf_lines(pdf) == ["kept"]
+
+
+def test_nested_balanced_parens_do_not_drop_the_block():
+    """Regression (round-5 review): spec-legal nested balanced parens in
+    a literal (PDF 7.3.4.2) must not drop the whole BT..ET block — and a
+    one-depth nested literal extracts with its parens intact."""
+    pdf = (b"%PDF-1.4\nstream\n"
+           b"BT /F1 12 Tf (a (nested) b) Tj 0 -14 Td (other line) Tj ET\n"
+           b"endstream\n")
+    assert extract_pdf_lines(pdf) == ["a (nested) b", "other line"]
+    # two-deep nesting: the literal itself is beyond the show-text regex
+    # (documented limit) but the BLOCK must survive and later lines show
+    pdf2 = (b"%PDF-1.4\nstream\n"
+            b"BT ((two (deep)) x) Tj (still here) Tj ET\nendstream\n")
+    assert "still here" in extract_pdf_lines(pdf2)

@@ -294,3 +294,39 @@ def test_wet_writer_hygiene(spark, tmp_path):
     n2 = write_wet(df.limit(1).coalesce(1), out, mode="overwrite")
     assert n2 == 1
     assert len(read_wet(spark, str(out)).collect()) == 1  # no ghosts
+
+
+def test_wet_null_url_skipped_and_counted(spark, tmp_path):
+    """A NULL url row cannot become a WARC record; it is skipped and
+    COUNTED (visible-not-fatal), never a job-killing task error."""
+    from ocr_award_extractor_spark.sources import warc
+
+    rows = [("https://ok.example/", None, "kept"), (None, None, "dropped")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "ocr_text string")
+    out = str(tmp_path / "wet")
+    n = warc.write_wet(df.coalesce(1), out)
+    assert n == 1 and warc.LAST_WET_SKIPPED_ACC.value == 1
+    back = warc.read_wet(spark, out).collect()
+    assert [r["url"] for r in back] == ["https://ok.example/"]
+
+
+def test_wet_record_ids_unique_for_duplicate_rows(spark, tmp_path):
+    """Duplicate (url, warc_ts) rows must still get DISTINCT
+    WARC-Record-IDs (spec-mandatory uniqueness per record)."""
+    import gzip as gz
+    import os
+    import re
+
+    from ocr_award_extractor_spark.sources.warc import write_wet
+
+    rows = [("https://dup.example/", None, "one"),
+            ("https://dup.example/", None, "two")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, "
+                                     "ocr_text string")
+    out = str(tmp_path / "wet")
+    assert write_wet(df.coalesce(1), out) == 2
+    shard = [f for f in os.listdir(out) if f.endswith(".warc.wet.gz")][0]
+    raw = gz.decompress(open(os.path.join(out, shard), "rb").read())
+    ids = re.findall(rb"WARC-Record-ID: <urn:uuid:([0-9a-f-]+)>", raw)
+    assert len(ids) == 2 and len(set(ids)) == 2
