@@ -132,6 +132,43 @@ def _pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-native input path, driver-graded (r5 verdict #1): the
+    webified corpus is serialized as REAL WARC shards — one gzip member
+    per ``response`` record with a full HTTP envelope, the Common Crawl
+    layout (sources/warc.py:37-41) — then read back through read_warc's
+    resyncing member/record parser + HTTP strip and run through the SAME
+    extraction stage. Byte-identity ⇒ shares the extract_pipeline_text
+    oracle: the crawl-format round trip must lose/duplicate/alter
+    nothing vs the in-memory plan. Staged once per process+sf via tmp +
+    atomic rename (a partial shard dir must never become the visible
+    input); 8 shards so read_warc's per-file parallelism is exercised,
+    not a single-file degenerate."""
+    import os
+    import tempfile
+
+    from ocr_award_extractor_spark.operators.extract_pipeline import extract_documents
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.sources.tables import load_table
+    from ocr_award_extractor_spark.sources.warc import read_warc, write_warc
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraft_warc_{_sf_tag(sf_dir)}_{os.getpid()}")
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        write_warc(
+            webify_documents(load_table(spark, sf_dir, "documents"))
+            .repartition(8),
+            tmp, mode="overwrite")
+        os.rename(tmp, out)
+    pages = read_warc(spark, out)
+    return extract_documents(pages).select(
+        "url", "status", F.md5("ocr_text").alias("text_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def _extract_field_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span offsets per url (north-star: 'extracted text plus span
     offsets'): 1-based character offset + length of each extracted field
@@ -392,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_pipeline_tiered"] = _extract_pipeline_tiered
     q["extract_pipeline_fields"] = _extract_pipeline_fields
     q["pdf_extract_text"] = _pdf_extract_text
+    q["warc_extract_roundtrip"] = _warc_extract_roundtrip
     q["extract_field_spans"] = _extract_field_spans
     q["resumable_write_roundtrip"] = _resumable_write_roundtrip
     q["streaming_extract_roundtrip"] = _streaming_extract_roundtrip
@@ -457,6 +495,10 @@ def oracle_sql() -> dict[str, str]:
     # ...and so must the streaming catch-up pass (stateless stage ⇒ the
     # stream may reorder but never lose, duplicate, or alter rows)
     o["streaming_extract_roundtrip"] = o["extract_pipeline_text"]
+    # ...and the crawl-format round trip (write_warc → read_warc →
+    # extraction): WARC serialization + HTTP-envelope strip must return
+    # every page byte-identically
+    o["warc_extract_roundtrip"] = o["extract_pipeline_text"]
     # stateful first-seen dedup: the input is the webified corpus + a
     # +1-day re-crawl copy arriving in a later microbatch; the state must
     # swallow every duplicate, so the result is ONE row per url with the

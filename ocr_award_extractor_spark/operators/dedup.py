@@ -423,7 +423,12 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard for adjacent doc_id pairs (a deterministic,
     oracle-friendly slice of pairwise near-dup scoring). Exact int counts;
-    the ratio is the same IEEE division on both engines."""
+    the ratio is the same IEEE division on both engines.
+
+    NOT in the driver registry since round 6: its 50-slot seat was freed
+    for ``warc_extract_roundtrip`` (r5 verdict #1). Semantics stay
+    pinned by tests/test_trainingdata_ops.py (planted values) and
+    tests/test_dedup_oracles.py (DuckDB parity at sf0.001)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -532,26 +537,6 @@ ORACLES = {
         )
         SELECT doc_id, min(r) AS comp FROM reach GROUP BY doc_id
     """,
-    "jaccard_adjacent_pairs": """
-        WITH tok AS (
-            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        ), tok2 AS (
-            SELECT doc_id, tok FROM tok WHERE len(tok) > 0
-        ), sizes AS (
-            SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id
-        ), inter AS (
-            SELECT a.doc_id AS doc_a, count(*) AS n_inter
-            FROM tok2 a JOIN tok2 b ON a.doc_id + 1 = b.doc_id AND a.tok = b.tok
-            GROUP BY a.doc_id
-        )
-        SELECT sa.doc_id AS doc_a, sa.n AS n_a, sb.n AS n_b,
-               coalesce(i.n_inter, 0) AS n_inter,
-               CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-                 / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
-        FROM sizes sa
-        JOIN sizes sb ON sa.doc_id + 1 = sb.doc_id
-        LEFT JOIN inter i ON i.doc_a = sa.doc_id
-    """,
 }
 
 QUERIES = {
@@ -560,5 +545,4 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "simhash": simhash,
-    "jaccard_adjacent_pairs": jaccard_adjacent_pairs,
 }

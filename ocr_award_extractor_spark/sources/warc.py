@@ -344,6 +344,85 @@ def read_warc(spark: SparkSession, path: str,
 # Accumulator counting rows write_wet skipped (NULL url) in the most
 # recent call — visible-not-fatal contract for bogus upstream rows.
 LAST_WET_SKIPPED_ACC = None
+# Same contract for write_warc.
+LAST_WARC_SKIPPED_ACC = None
+
+
+def _escape_header_url(url: str) -> bytes:
+    """CR/LF cannot appear in a WARC header value — escape, don't let a
+    hostile url split the record framing."""
+    return url.replace("\r", "%0D").replace("\n", "%0A").encode("utf-8")
+
+
+def _prepare_out_dir(out_dir: str, suffix: str, mode: str) -> None:
+    """Shared writer-hygiene preamble: ``mode='error'`` (like Spark
+    writers) refuses an out_dir that already holds shards — a rerun with
+    different partitioning would otherwise leave stale shards that
+    read-back merges in; ``'overwrite'`` clears existing shards (and
+    stale tmps) first."""
+    import glob as globmod
+    import os
+
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"unknown mode: {mode}")
+    os.makedirs(out_dir, exist_ok=True)
+    existing = globmod.glob(os.path.join(out_dir, f"part-*{suffix}"))
+    stale_tmp = globmod.glob(os.path.join(out_dir, ".part-*.tmp"))
+    if existing and mode == "error":
+        raise FileExistsError(
+            f"{out_dir} already holds {len(existing)} shard(s); pass "
+            f"mode='overwrite' to replace them (a rerun with different "
+            f"partitioning would otherwise leave stale shards)")
+    for p in existing + stale_tmp:
+        os.remove(p)
+
+
+def _write_shards(rows: DataFrame, out_dir: str, suffix: str,
+                  make_record, acc, skipped) -> None:
+    """foreachPartition shard writer shared by :func:`write_wet` /
+    :func:`write_warc`: one ``part-NNNNN<suffix>`` per non-empty
+    partition, each task STREAMING records into a tmp file (O(record)
+    memory, not O(partition)) committed by os.rename, so a killed job
+    leaves no half-visible shard (same idiom as plans/lineage.py; tmp
+    names contain no format suffix so the read globs never see them).
+    ``make_record(row, pid, seq) -> bytes | None`` serializes one row;
+    None = skip-and-count into ``skipped``. Pure per-partition — no
+    shuffle, no driver data path; shard count = partition count."""
+
+    def writer(it):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        f = None
+        seq = 0
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        tmp = os.path.join(out_dir,
+                           f".part-{pid:05d}-{uuid.uuid4().hex[:8]}.tmp")
+        try:
+            for row in it:
+                rec = make_record(row, pid, seq)
+                seq += 1
+                if rec is None:
+                    skipped.add(1)
+                    continue
+                if f is None:          # lazy: empty partitions write nothing
+                    f = open(tmp, "wb")
+                f.write(rec)
+                acc.add(1)
+            if f is not None:
+                f.close()
+                os.rename(tmp, path)
+        except BaseException:
+            if f is not None:
+                f.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+
+    rows.foreachPartition(writer)
 
 
 def write_wet(extracted: DataFrame, out_dir: str,
@@ -357,18 +436,14 @@ def write_wet(extracted: DataFrame, out_dir: str,
     plans/lineage.py; tmp names contain no ``.wet`` so read_wet's glob
     can never see them). Returns the number of records written.
 
-    ``mode``: ``'error'`` (default, like Spark writers) refuses an
-    out_dir that already holds WET shards — a rerun with different
-    partitioning would otherwise leave stale shards that read-back
-    merges in; ``'overwrite'`` clears existing shards (and stale tmps)
-    first.
-
-    Record hygiene: every record carries a deterministic
-    ``WARC-Record-ID`` (uuid5 of url+date — spec-mandatory, and
-    reproducible across reruns); CR/LF in urls is percent-escaped so a
-    hostile url cannot smuggle headers into the record framing;
-    ``WARC-Date`` preserves microseconds and is OMITTED for a NULL
-    warc_ts (read_wet returns None — no silent epoch substitution).
+    ``mode`` and writer hygiene per :func:`_prepare_out_dir` /
+    :func:`_write_shards`. Record hygiene: every record carries a
+    deterministic ``WARC-Record-ID`` (uuid5 of url+ts+partition+seq —
+    spec-mandatory uniqueness, reproducible for a fixed partitioning);
+    CR/LF in urls is percent-escaped so a hostile url cannot smuggle
+    headers into the record framing; ``WARC-Date`` preserves
+    microseconds and is OMITTED for a NULL warc_ts (read_wet returns
+    None — no silent epoch substitution).
 
     Scale shape: pure ``foreachPartition`` — every task serializes its
     own rows and writes its own shard to the shared filesystem; no
@@ -377,22 +452,7 @@ def write_wet(extracted: DataFrame, out_dir: str,
     rows are written when a status column exists; the text column is
     UTF-8 encoded and byte-identical on read-back
     (tests/test_warc_source.py::test_wet_roundtrip_byte_identical)."""
-    import glob as globmod
-    import os
-
-    if mode not in ("error", "overwrite"):
-        raise ValueError(f"unknown mode: {mode}")
-    os.makedirs(out_dir, exist_ok=True)
-    existing = globmod.glob(os.path.join(out_dir, "part-*.warc.wet.gz"))
-    stale_tmp = globmod.glob(os.path.join(out_dir, ".part-*.tmp"))
-    if existing and mode == "error":
-        raise FileExistsError(
-            f"{out_dir} already holds {len(existing)} WET shard(s); pass "
-            f"mode='overwrite' to replace them (a rerun with different "
-            f"partitioning would otherwise leave stale shards)")
-    for p in existing + stale_tmp:
-        os.remove(p)
-
+    _prepare_out_dir(out_dir, ".warc.wet.gz", mode)
     cols = ["url", text_col] + (
         ["warc_ts"] if "warc_ts" in extracted.columns else [])
     if "status" in extracted.columns:
@@ -407,66 +467,92 @@ def write_wet(extracted: DataFrame, out_dir: str,
     LAST_WET_SKIPPED_ACC = skipped
     has_ts = "warc_ts" in cols
 
-    def writer(it):
+    def make_record(row, pid, seq):
         import gzip
-        import os
         import uuid
 
-        from pyspark import TaskContext
+        if row["url"] is None:
+            # a record without a target URI is unwritable; skip VISIBLY
+            # (counted) rather than killing the job on one bogus row
+            return None
+        text = (row[text_col] or "").encode("utf-8")
+        url = _escape_header_url(row["url"])
+        ts = row["warc_ts"] if has_ts else None
+        rid = uuid.uuid5(uuid.NAMESPACE_URL,
+                         f"{row['url']}|{ts}|{pid}|{seq}")
+        hdrs = [b"WARC/1.0",
+                b"WARC-Type: conversion",
+                b"WARC-Record-ID: <urn:uuid:" +
+                str(rid).encode("ascii") + b">",
+                b"WARC-Target-URI: " + url]
+        if ts is not None:
+            hdrs.append(b"WARC-Date: " + _format_ts(ts).encode("ascii"))
+        hdrs.append(b"Content-Type: text/plain")
+        hdrs.append(b"Content-Length: " + str(len(text)).encode("ascii"))
+        return gzip.compress(b"\r\n".join(hdrs) + _HDR_END + text + _HDR_END)
 
-        f = None
-        seq = 0
-        pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
-        tmp = os.path.join(out_dir,
-                           f".part-{pid:05d}-{uuid.uuid4().hex[:8]}.tmp")
-        try:
-            for row in it:
-                if row["url"] is None:
-                    # a record without a target URI is unwritable; skip
-                    # VISIBLY (counted) rather than killing the job on
-                    # one bogus upstream row
-                    skipped.add(1)
-                    continue
-                text = (row[text_col] or "").encode("utf-8")
-                # CR/LF cannot appear in a header value — escape, don't
-                # let a hostile url split the framing
-                url = (row["url"].replace("\r", "%0D")
-                       .replace("\n", "%0A").encode("utf-8"))
-                ts = row["warc_ts"] if has_ts else None
-                # unique per RECORD (spec-mandatory), deterministic for
-                # a fixed partitioning: duplicate (url, ts) rows must
-                # not share an id
-                rid = uuid.uuid5(uuid.NAMESPACE_URL,
-                                 f"{row['url']}|{ts}|{pid}|{seq}")
-                seq += 1
-                hdrs = [b"WARC/1.0",
-                        b"WARC-Type: conversion",
-                        b"WARC-Record-ID: <urn:uuid:" +
-                        str(rid).encode("ascii") + b">",
-                        b"WARC-Target-URI: " + url]
-                if ts is not None:
-                    hdrs.append(b"WARC-Date: " +
-                                _format_ts(ts).encode("ascii"))
-                hdrs.append(b"Content-Type: text/plain")
-                hdrs.append(b"Content-Length: "
-                            + str(len(text)).encode("ascii"))
-                rec = (b"\r\n".join(hdrs) + _HDR_END + text + _HDR_END)
-                if f is None:          # lazy: empty partitions write nothing
-                    f = open(tmp, "wb")
-                f.write(gzip.compress(rec))
-                acc.add(1)
-            if f is not None:
-                f.close()
-                os.rename(tmp, path)
-        except BaseException:
-            if f is not None:
-                f.close()
-            if os.path.exists(tmp):
-                os.remove(tmp)
-            raise
+    _write_shards(rows, out_dir, ".warc.wet.gz", make_record, acc, skipped)
+    return acc.value
 
-    rows.foreachPartition(writer)
+
+def write_warc(pages: DataFrame, out_dir: str, mode: str = "error") -> int:
+    """Crawl-input sink: PAGE_SCHEMA-shaped rows (url, warc_ts, html) →
+    WARC/1.0 ``response`` records under ``out_dir``, one gzip member per
+    record (the Common Crawl layout, ``part-NNNNN.warc.gz``), each block
+    a full HTTP response envelope so :func:`read_warc`'s envelope strip
+    returns the html BYTE-IDENTICALLY (pinned by
+    tests/test_warc_source.py and the driver's ``warc_extract_roundtrip``
+    oracle row). The reference ingests files from a directory
+    (certificate_ocr.py:419-430); this is the crawl-native serialization
+    of the same corpus, closing the read_warc loop.
+
+    Same ``mode``/commit/hygiene contract as :func:`write_wet`
+    (:func:`_prepare_out_dir` / :func:`_write_shards`): streaming tmp +
+    atomic rename per shard, deterministic per-record ``WARC-Record-ID``,
+    CR/LF-escaped urls, ``WARC-Date`` omitted for NULL warc_ts, NULL-url
+    rows skipped-and-counted into ``LAST_WARC_SKIPPED_ACC``. Returns the
+    number of records written."""
+    _prepare_out_dir(out_dir, ".warc.gz", mode)
+    cols = ["url", "html"] + (
+        ["warc_ts"] if "warc_ts" in pages.columns else [])
+    rows = pages.select(*cols)
+    spark = rows.sparkSession
+    acc = spark.sparkContext.accumulator(0)
+    skipped = spark.sparkContext.accumulator(0)
+    global LAST_WARC_SKIPPED_ACC
+    LAST_WARC_SKIPPED_ACC = skipped
+    has_ts = "warc_ts" in cols
+
+    def make_record(row, pid, seq):
+        import gzip
+        import uuid
+
+        if row["url"] is None:
+            return None
+        html = bytes(row["html"]) if row["html"] is not None else b""
+        # full HTTP envelope (what real crawl WARCs carry): read_warc's
+        # http_payload splits at the FIRST \r\n\r\n — which is this
+        # envelope's end — so arbitrary html bytes round-trip exactly
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html\r\n"
+                b"Content-Length: " + str(len(html)).encode("ascii")
+                + _HDR_END + html)
+        url = _escape_header_url(row["url"])
+        ts = row["warc_ts"] if has_ts else None
+        rid = uuid.uuid5(uuid.NAMESPACE_URL,
+                         f"{row['url']}|{ts}|{pid}|{seq}")
+        hdrs = [b"WARC/1.0",
+                b"WARC-Type: response",
+                b"WARC-Record-ID: <urn:uuid:" +
+                str(rid).encode("ascii") + b">",
+                b"WARC-Target-URI: " + url]
+        if ts is not None:
+            hdrs.append(b"WARC-Date: " + _format_ts(ts).encode("ascii"))
+        hdrs.append(b"Content-Type: application/http; msgtype=response")
+        hdrs.append(b"Content-Length: " + str(len(http)).encode("ascii"))
+        return gzip.compress(b"\r\n".join(hdrs) + _HDR_END + http + _HDR_END)
+
+    _write_shards(rows, out_dir, ".warc.gz", make_record, acc, skipped)
     return acc.value
 
 

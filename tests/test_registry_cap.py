@@ -48,6 +48,6 @@ def test_pipeline_family_registers_first():
     first = list(q)[:10]
     assert first[0] == "extract_pipeline_text"
     for name in ("extract_pipeline_fields", "pdf_extract_text",
-                 "resumable_write_roundtrip", "streaming_extract_roundtrip",
-                 "stream_dedup_first_seen"):
+                 "warc_extract_roundtrip", "resumable_write_roundtrip",
+                 "streaming_extract_roundtrip", "stream_dedup_first_seen"):
         assert name in first

@@ -444,3 +444,42 @@ def test_dedup_clusters_guard_passthrough(spark, flood_dir):
     assert dedup.LAST_OVERSIZE_ACC.value >= 1
     assert len(comp) == 32                 # every doc labeled
     assert comp[31] == 31                  # unrelated singleton intact
+
+
+def test_jaccard_duckdb_parity_sf0001(spark):
+    """jaccard_adjacent_pairs left the driver registry in round 6 (its
+    50-slot seat was freed for warc_extract_roundtrip — r5 verdict #1),
+    so the DuckDB-oracle parity it used to get from the driver's
+    CORRECTNESS run lives here instead, over the same sf0.001 table."""
+    import duckdb
+
+    from ocr_award_extractor_spark.operators.dedup import jaccard_adjacent_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_a"]: (r["n_a"], r["n_b"], r["n_inter"], r["jaccard"])
+           for r in jaccard_adjacent_pairs(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute("""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), tok2 AS (
+            SELECT doc_id, tok FROM tok WHERE len(tok) > 0
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, count(*) AS n_inter
+            FROM tok2 a JOIN tok2 b ON a.doc_id + 1 = b.doc_id AND a.tok = b.tok
+            GROUP BY a.doc_id
+        )
+        SELECT sa.doc_id AS doc_a, sa.n AS n_a, sb.n AS n_b,
+               coalesce(i.n_inter, 0) AS n_inter,
+               CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard
+        FROM sizes sa
+        JOIN sizes sb ON sa.doc_id + 1 = sb.doc_id
+        LEFT JOIN inter i ON i.doc_a = sa.doc_id
+    """).fetchall()}
+    assert got == want and len(got) > 0

@@ -330,3 +330,79 @@ def test_wet_record_ids_unique_for_duplicate_rows(spark, tmp_path):
     raw = gz.decompress(open(os.path.join(out, shard), "rb").read())
     ids = re.findall(rb"WARC-Record-ID: <urn:uuid:([0-9a-f-]+)>", raw)
     assert len(ids) == 2 and len(set(ids)) == 2
+
+
+# ----------------------------------------------------------- write_warc
+def _pages_df(spark, rows):
+    from ocr_award_extractor_spark.operators.webify import PAGE_SCHEMA
+
+    return spark.createDataFrame(
+        [(u, ts, h, "", "") for u, ts, h in rows], PAGE_SCHEMA)
+
+
+def test_write_warc_read_warc_roundtrip_byte_identical(spark, tmp_path):
+    """The crawl-input sink must round-trip ARBITRARY html bytes through
+    read_warc exactly: framing-hostile payloads (embedded CRLFCRLF, a
+    quoted WARC/1.0 marker, non-UTF8 bytes), microsecond timestamps, and
+    a NULL warc_ts (WARC-Date omitted → read back as None)."""
+    from ocr_award_extractor_spark.sources import warc
+
+    hostile = (b"<html>\r\n\r\nWARC/1.0\r\nquoted marker \xff\xfe raw"
+               b" bytes</html>")
+    rows = [
+        ("https://a.example/x", datetime(2024, 3, 1, 1, 2, 3), HTML_A),
+        ("https://b.example/y", datetime(2024, 3, 2, 4, 5, 6, 789012), hostile),
+        ("https://c.example/z", None, b""),
+    ]
+    out = str(tmp_path / "warc")
+    assert warc.write_warc(_pages_df(spark, rows).coalesce(1), out) == 3
+    back = {r["url"]: r for r in warc.read_warc(spark, out).collect()}
+    assert set(back) == {u for u, _, _ in rows}
+    for u, ts, h in rows:
+        assert bytes(back[u]["html"]) == h        # HTTP envelope stripped
+        assert back[u]["warc_ts"] == ts
+        assert back[u]["text"] == "" and back[u]["lang"] == ""
+
+
+def test_write_warc_hygiene_matches_wet_contract(spark, tmp_path):
+    """NULL urls skip-and-count, CR/LF urls are escaped (no framing
+    smuggling), mode='error' refuses existing shards, 'overwrite'
+    replaces them."""
+    import pytest as _pytest
+
+    from ocr_award_extractor_spark.sources import warc
+
+    rows = [("https://ok.example/", datetime(2024, 3, 1), HTML_A),
+            (None, None, HTML_B),
+            ("https://evil.example/\r\nWARC-Type: sneaky", None, HTML_B)]
+    out = str(tmp_path / "warc")
+    n = warc.write_warc(_pages_df(spark, rows).coalesce(1), out)
+    assert n == 2 and warc.LAST_WARC_SKIPPED_ACC.value == 1
+    back = {r["url"] for r in warc.read_warc(spark, out).collect()}
+    # the escaped url reads back escaped — one record, framing intact
+    assert back == {"https://ok.example/",
+                    "https://evil.example/%0D%0AWARC-Type: sneaky"}
+    with _pytest.raises(FileExistsError):
+        warc.write_warc(_pages_df(spark, rows).coalesce(1), out)
+    n2 = warc.write_warc(_pages_df(spark, rows[:1]).coalesce(1), out,
+                         mode="overwrite")
+    assert n2 == 1
+    assert {r["url"] for r in warc.read_warc(spark, out).collect()} == {
+        "https://ok.example/"}
+
+
+def test_warc_extract_roundtrip_matches_in_memory_pipeline(spark):
+    """The driver-graded warc_extract_roundtrip leg equals the in-memory
+    flagship pipeline row-for-row at sf0.001 (the same invariant the
+    CORRECTNESS oracle checks at sf0.01)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in entrymod.queries()["warc_extract_roundtrip"](
+        spark, sf).collect()}
+    want = {tuple(r) for r in entrymod.queries()["extract_pipeline_text"](
+        spark, sf).collect()}
+    assert got == want and len(got) > 0
