@@ -75,6 +75,7 @@ def run_training_data_pipeline(
     n_batches: int = 4,
     id_bits: int = 64,
     on_oversize: str = "error",
+    wet_out: str | None = None,
 ) -> dict:
     """Run the full chain; returns {"stages": [...], "total_sec": ...}
     with per-stage rows in/out and wall time. Stage outputs land under
@@ -121,6 +122,27 @@ def run_training_data_pipeline(
         return docs, docs.count()
 
     docs, n_docs = stage("extract", n_pages, do_extract)
+
+    if wet_out is not None:
+        # crawl-in → crawl-out (r5 verdict #2): the committed extraction
+        # is also exported as WET conversion shards — the format crawl
+        # consumers already read — and read back to prove the export is
+        # COMPLETE (write_wet's count, the read-back count, and the
+        # committed success-row count must all agree; byte-identity of
+        # the text itself is pinned by tests/test_warc_source.py)
+        from ocr_award_extractor_spark.sources.warc import read_wet, write_wet
+
+        def do_wet():
+            n_written = write_wet(docs, wet_out, text_col="text",
+                                  mode="overwrite")
+            n_back = read_wet(spark, wet_out).count()
+            if not (n_written == n_back == n_docs):
+                raise RuntimeError(
+                    f"WET export incomplete: committed={n_docs} "
+                    f"written={n_written} read_back={n_back}")
+            return None, n_written
+
+        stage("wet_export", n_docs, do_wet)
 
     def do_gate():
         keep = gopher_quality_flags_df(docs).where("keep").select("doc_id")
@@ -199,6 +221,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="near-dup mega-bucket guard action (exact dedup "
                         "has already run by that stage, so 'skip' is the "
                         "escape hatch for legitimate near-dup floods)")
+    p.add_argument("--wet-out", default=None,
+                   help="also export the committed extraction as WET "
+                        "conversion shards here and verify the read-back "
+                        "count equals the committed success rows")
     args = p.parse_args(argv)
 
     from ocr_award_extractor_spark.config import get_spark
@@ -209,7 +235,8 @@ def main(argv: list[str] | None = None) -> int:
         summary = run_training_data_pipeline(
             spark, pages, args.output, args.run_id,
             n_splits=args.n_splits, n_batches=args.n_batches,
-            id_bits=args.id_bits, on_oversize=args.on_oversize)
+            id_bits=args.id_bits, on_oversize=args.on_oversize,
+            wet_out=args.wet_out)
         print(json.dumps(summary))
         return 0
     finally:

@@ -41,8 +41,25 @@ def pipeline_run(spark, tmp_path_factory):
     out_dir = str(d / "out")
     summary = run_training_data_pipeline(
         spark, spark.read.parquet(pages_dir), out_dir, "pytest",
-        n_splits=2, n_batches=1)
+        n_splits=2, n_batches=1, wet_out=str(d / "wet"))
     return summary, out_dir
+
+
+def test_wet_export_stage_is_complete_and_byte_identical(pipeline_run, spark):
+    """--wet-out (r5 verdict #2): the WET export stage runs after the
+    extraction commit, writes exactly the committed success rows, and the
+    shards read back with byte-identical text per url."""
+    summary, out_dir = pipeline_run
+    from ocr_award_extractor_spark.sources.warc import read_wet
+
+    wet_dir = os.path.join(os.path.dirname(out_dir), "wet")
+    stage = {s["stage"]: s for s in summary["stages"]}["wet_export"]
+    assert stage["rows_out"] == summary["rows"]["extracted"]
+    back = {r["url"]: r["text"]
+            for r in read_wet(spark, wet_dir).collect()}
+    docs = {r["url"]: r["text"]
+            for r in spark.read.parquet(os.path.join(out_dir, "docs")).collect()}
+    assert back == docs and len(back) == summary["rows"]["extracted"]
 
 
 def test_stage_rowcounts_tell_the_planted_story(pipeline_run):
