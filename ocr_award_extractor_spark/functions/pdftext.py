@@ -46,15 +46,53 @@ _PDF_STRING = rb"\((?:\\.|[^\\()]|\((?:\\.|[^\\()])*\))*\)"
 _SHOW_TJ = re.compile(_PDF_STRING + rb"\s*Tj")
 
 
+_PDF_WS = b"\x00\t\n\x0c\r "
+
+
+def _skip_inline_image(content: bytes, i: int) -> int:
+    """``i`` at a ``BI`` token: return the index just past the inline
+    image's closing ``EI`` — the ID…EI binary data may contain parens,
+    "BT", or "ET" bytes that must never reach the block scanner. EI is
+    accepted only at a whitespace-delimited token boundary (binary that
+    merely CONTAINS the two letters scans on). No ID/EI found ⇒ resume
+    just after BI (scan-on, don't eat the tail)."""
+    n = len(content)
+    idp = content.find(b"ID", i + 2)
+    if idp < 0:
+        return i + 2
+    k = idp + 2
+    if k < n and content[k:k + 1] in _PDF_WS:    # one ws byte after ID
+        k += 1
+    while True:
+        e = content.find(b"EI", k)
+        if e < 0:
+            return i + 2
+        before = content[e - 1:e]
+        after = content[e + 2:e + 3]
+        if ((not before or before in _PDF_WS)
+                and (not after or after in _PDF_WS)):
+            return e + 2
+        k = e + 1
+
+
 def _find_text_blocks(content: bytes) -> list[bytes]:
     """Bodies of the BT…ET text objects, via a STRING-AWARE linear scan:
-    parenthesized literals (arbitrary nesting depth, escape-aware) are
-    skipped atomically, and BT/ET only count at letter boundaries — so a
-    show-text line that contains (or IS) "ET"/"BT", or a name like
-    /FNET, can never open or close a block (the previous lazy
-    ``BT(.*?)ET`` regex terminated at an ET inside a literal — found by
-    hypothesis — and the string-alternation regex that replaced it
-    dropped whole blocks on spec-legal nested parens)."""
+    INSIDE a text object, parenthesized literals (arbitrary nesting
+    depth, escape-aware) are skipped atomically, and BT/ET only count at
+    letter boundaries — so a show-text line that contains (or IS)
+    "ET"/"BT", or a name like /FNET, can never open or close a block
+    (the previous lazy ``BT(.*?)ET`` regex terminated at an ET inside a
+    literal — found by hypothesis — and the string-alternation regex
+    that replaced it dropped whole blocks on spec-legal nested parens).
+
+    OUTSIDE text objects parens are NOT tracked (ADVICE r5): an
+    unbalanced ``(`` in non-string content must not flip the scanner
+    into string-skip mode and silently eat every later BT block. The
+    two legal carriers of such bytes are skipped explicitly instead —
+    ``%`` comments run to end-of-line and ``BI…ID…EI`` inline-image
+    binary is skipped at token granularity — and a string that never
+    terminates (truncated stream) resumes scanning just after its
+    opening paren rather than consuming the tail."""
     blocks: list[bytes] = []
     i, n = 0, len(content)
     start = None
@@ -69,24 +107,38 @@ def _find_text_blocks(content: bytes) -> list[bytes]:
 
     while i < n:
         c = content[i:i + 1]
+        if c == b"%":                       # comment: to end of line
+            eols = [p for p in (content.find(b"\r", i),
+                                content.find(b"\n", i)) if p >= 0]
+            i = min(eols) if eols else n
+            continue
+        if start is None:
+            if c == b"B" and is_tok(i, b"BT"):
+                i += 2
+                start = i
+                continue
+            if c == b"B" and is_tok(i, b"BI"):
+                i = _skip_inline_image(content, i)
+                continue
+            i += 1
+            continue
         if c == b"(":
-            depth, i = 1, i + 1
-            while i < n and depth:
-                ch = content[i:i + 1]
+            depth, k = 1, i + 1
+            while k < n and depth:
+                ch = content[k:k + 1]
                 if ch == b"\\":
-                    i += 2
+                    k += 2
                     continue
                 if ch == b"(":
                     depth += 1
                 elif ch == b")":
                     depth -= 1
-                i += 1
+                k += 1
+            # unterminated at EOF: resume after the opening paren — the
+            # block's remaining operators (and its ET) must still scan
+            i = k if depth == 0 else i + 1
             continue
-        if start is None and c == b"B" and is_tok(i, b"BT"):
-            i += 2
-            start = i
-            continue
-        if start is not None and c == b"E" and is_tok(i, b"ET"):
+        if c == b"E" and is_tok(i, b"ET"):
             blocks.append(content[start:i])
             start = None
             i += 2

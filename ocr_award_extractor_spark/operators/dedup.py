@@ -152,14 +152,16 @@ def minhash_lsh_pairs_df(docs: DataFrame,
     collapses exact copies before shingling); buckets past ``max_bucket``
     (default pairblocks.MAX_BUCKET_MEMBERS) now fail the job with an
     actionable error, or with ``on_oversize='skip'`` are dropped and
-    counted into LAST_OVERSIZE_ACC (the join spelling enforces the same
-    cap JVM-side — skip-filtered without a counter).
+    counted into LAST_OVERSIZE_ACC (kernel spelling). The join spelling
+    enforces the same cap JVM-side; its skip-mode drops are observed
+    into ``pairblocks.LAST_JVM_DROP_STATS`` (row units — ADVICE r5), and
+    it deliberately does NOT install LAST_OVERSIZE_ACC, which its plan
+    can never increment (a fresh 0 there misread as "nothing dropped").
 
     ``force_join=True`` keeps the classic self-equi-join spelling
     reachable (bit-equality pinned by
     tests/test_trainingdata_ops.py::test_minhash_bucket_local_equals_join)."""
     cap = _MAX_BUCKET_MEMBERS if max_bucket is None else max_bucket
-    acc = _oversize_acc(docs, on_oversize)
     sig = minhash_signature_df(docs)
     bands = F.array(*[
         F.struct(
@@ -183,6 +185,10 @@ def minhash_lsh_pairs_df(docs: DataFrame,
             .distinct()
         )
 
+    # kernel path only: the join spelling above returned already, and its
+    # plan can never increment a Python accumulator — installing one
+    # there misreads as "nothing dropped" (ADVICE r5)
+    acc = _oversize_acc(docs, on_oversize)
     buckets = (
         keyed.groupBy("band", "key")
         .agg(F.collect_list("doc_id").alias("members"))

@@ -60,22 +60,83 @@ def make_oversize_acc(df, on_oversize: str):
     return df.sparkSession.sparkContext.accumulator(0)
 
 
+class JvmDropStats:
+    """Driver-visible drop stats for :func:`guard_keyed_jvm` skip mode.
+
+    Computed ON READ by a separate tiny aggregation over the guarded
+    keyed frame — NOT ``Dataset.observe``: AQE's empty-relation
+    propagation prunes the CollectMetrics node from the executed plan
+    precisely when EVERY bucket is oversize (the downstream join
+    collapses to an empty relation before the metrics stage runs), so
+    ``Observation.get`` explodes in the one case the counter exists for
+    (measured on Spark 4.1, pinned by
+    test_join_spelling_skip_drops_are_observed). Reading a property
+    therefore runs the keyed subtree once more; it's observability, paid
+    only when asked for — the kernel spellings keep their free
+    per-action accumulator. Unlike observe, a real aggregation CAN run
+    count_distinct, so ``buckets_dropped`` matches the kernel counter's
+    bucket units exactly."""
+
+    def __init__(self, sized, bucket_cols, cap):
+        self._sized = sized
+        self._bucket_cols = bucket_cols
+        self._cap = cap
+        self._row = None
+
+    def _fetch(self):
+        if self._row is None:
+            from pyspark.sql import functions as F
+
+            over = F.col("_bk_n") > F.lit(self._cap)
+            self._row = self._sized.agg(
+                F.coalesce(
+                    F.count_distinct(F.when(
+                        over, F.struct(*self._bucket_cols))),
+                    F.lit(0)).alias("buckets"),
+                F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("rows"),
+                F.coalesce(F.max("_bk_n"), F.lit(0)).alias("mx"),
+            ).collect()[0]
+        return self._row
+
+    @property
+    def buckets_dropped(self) -> int:
+        return self._fetch()["buckets"]
+
+    @property
+    def rows_dropped(self) -> int:
+        return self._fetch()["rows"]
+
+    @property
+    def max_bucket_seen(self) -> int:
+        return self._fetch()["mx"]
+
+
+# JvmDropStats of the most recent skip-mode guard_keyed_jvm plan (ADVICE
+# r5: the join spelling silently lost drop observability while the
+# kernel spellings counted into their modules' LAST_OVERSIZE_ACC).
+LAST_JVM_DROP_STATS = None
+
+
 def guard_keyed_jvm(keyed, bucket_cols: list[str], cap: int,
                     on_oversize: str, kind: str):
     """Mega-bucket guard for the all-JVM join spellings: a window count
     over the bucket key either raises in-plan (error mode — raise_error
     fires on the first oversize row, failing the job with the same
     message shape as the kernel guard) or filters oversize buckets out
-    (skip mode; JVM-side, so no Python accumulator — the kernel
-    spellings carry the counter). The window repartitions by the same
-    key the downstream self-join shuffles on, so no extra exchange shape
-    is introduced."""
+    (skip mode, with dropped buckets/rows and the worst bucket size
+    readable on demand from ``LAST_JVM_DROP_STATS`` — ADVICE r5). The
+    window repartitions by the same key the downstream self-join
+    shuffles on, so no extra exchange shape is introduced."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    if on_oversize not in ("error", "skip"):
+        raise ValueError(f"unknown on_oversize: {on_oversize}")
     cnt = F.count(F.lit(1)).over(Window.partitionBy(*bucket_cols))
     sized = keyed.withColumn("_bk_n", cnt)
     if on_oversize == "skip":
+        global LAST_JVM_DROP_STATS
+        LAST_JVM_DROP_STATS = JvmDropStats(sized, bucket_cols, cap)
         return sized.where(F.col("_bk_n") <= F.lit(cap)).drop("_bk_n")
     msg = F.format_string(
         f"{kind} bucket has %s members (> {cap}-member guard): run "

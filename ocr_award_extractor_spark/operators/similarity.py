@@ -278,8 +278,9 @@ def _band_collisions(emb_q: DataFrame, bands: int, rows: int,
     co-occurrence, duplicates across bands NOT collapsed. The band
     self-join moves ONLY (vec_id, band, key) — 24 bytes/row, never the
     vectors. The same mega-bucket guard as the kernel spellings runs
-    JVM-side on the keys (error: in-plan raise; skip: filter, no
-    counter) before the self-join can square an oversize bucket."""
+    JVM-side on the keys (error: in-plan raise; skip: filter, drops
+    observed into pairblocks.LAST_JVM_DROP_STATS — ADVICE r5) before
+    the self-join can square an oversize bucket."""
     cap = _MAX_BUCKET_MEMBERS if max_bucket is None else max_bucket
     keys = lsh_band_keys(emb_q, bands, rows)
     keys = _guard_keyed_jvm(keys, ["band", "key"], cap, on_oversize,
@@ -594,7 +595,8 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
     design bucket) fail the job with an actionable "run dedup_exact
     first" error, or with ``on_oversize='skip'`` are dropped and counted
     into LAST_OVERSIZE_ACC (kernel spellings; the join spelling filters
-    JVM-side). Pinned by
+    JVM-side with drops observed into pairblocks.LAST_JVM_DROP_STATS).
+    Pinned by
     tests/test_trainingdata_ops.py::test_mega_bucket_guard*."""
     if spelling not in ("auto", "broadcast", "shuffled", "join"):
         raise ValueError(f"unknown spelling: {spelling}")

@@ -205,3 +205,42 @@ def test_nested_balanced_parens_do_not_drop_the_block():
     pdf2 = (b"%PDF-1.4\nstream\n"
             b"BT ((two (deep)) x) Tj (still here) Tj ET\nendstream\n")
     assert "still here" in extract_pdf_lines(pdf2)
+
+
+def test_stray_paren_outside_blocks_does_not_eat_later_blocks():
+    """Regression (ADVICE r5): an unbalanced '(' in non-string content
+    OUTSIDE a text object (comment, inline-image binary, corruption)
+    must not flip the scanner into string-skip mode and drop every
+    subsequent BT..ET block."""
+    pdf = (b"%PDF-1.4\nstream\n"
+           b"q ( W n\n"                       # stray unbalanced paren
+           b"BT (survives) Tj ET\nendstream\n")
+    assert extract_pdf_lines(pdf) == ["survives"]
+    # %-comment carrying parens AND a fake BT marker: runs to EOL only
+    pdf2 = (b"%PDF-1.4\nstream\n"
+            b"% setup ( BT (not text) Tj\n"
+            b"BT (real) Tj ET\nendstream\n")
+    assert extract_pdf_lines(pdf2) == ["real"]
+
+
+def test_inline_image_binary_is_skipped_at_token_granularity():
+    """BI..ID..EI binary may contain '(', 'BT', 'ET', and even the two
+    letters 'EI' mid-binary — only a whitespace-delimited EI token ends
+    the image, and the blocks around it must all survive."""
+    binary = b"\x00( BT \xffEIx\x01 ET ("      # contains non-token 'EI'
+    pdf = (b"%PDF-1.4\nstream\n"
+           b"BT (before) Tj ET\n"
+           b"BI /W 2 /H 2 ID " + binary + b" EI\n"
+           b"BT (after) Tj ET\nendstream\n")
+    assert extract_pdf_lines(pdf) == ["before", "after"]
+
+
+def test_unterminated_string_resumes_after_open_paren():
+    """A literal that never closes (truncated stream) must not consume
+    the tail: the block's remaining operators — including its ET and any
+    LATER blocks — still scan."""
+    pdf = (b"%PDF-1.4\nstream\n"
+           b"BT (good) Tj (never closes \\) still open ET\n"
+           b"BT (later block) Tj ET\nendstream\n")
+    lines = extract_pdf_lines(pdf)
+    assert "good" in lines and "later block" in lines

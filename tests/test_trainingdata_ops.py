@@ -483,3 +483,38 @@ def test_jaccard_duckdb_parity_sf0001(spark):
         LEFT JOIN inter i ON i.doc_a = sa.doc_id
     """).fetchall()}
     assert got == want and len(got) > 0
+
+
+def test_join_spelling_skip_drops_are_observed(spark, flood_dir):
+    """ADVICE r5: the all-JVM join spelling's skip mode must not lose
+    drop observability. Drops are observed into
+    pairblocks.LAST_JVM_DROP_STATS (row units), and the join path must
+    NOT install LAST_OVERSIZE_ACC — a fresh 0 there misreads as
+    'nothing dropped' when the JVM plan can never increment it."""
+    from ocr_award_extractor_spark.operators import dedup, pairblocks
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, flood_dir, "documents")
+    sentinel = object()
+    dedup.LAST_OVERSIZE_ACC = sentinel
+    out = dedup.minhash_lsh_pairs_df(docs, force_join=True, max_bucket=8,
+                                     on_oversize="skip")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert dedup.LAST_OVERSIZE_ACC is sentinel     # join path installed nothing
+    stats = pairblocks.LAST_JVM_DROP_STATS
+    assert stats.buckets_dropped >= 1              # kernel-counter units
+    assert stats.rows_dropped >= 30                # flood rows were dropped
+    assert stats.max_bucket_seen >= 30             # and the worst bucket seen
+    assert all(a >= 30 or b >= 30 for a, b in pairs)
+
+    # a non-flood corpus in skip mode reports zero drops (not None)
+    small = docs.where("doc_id >= 28")
+    out2 = dedup.minhash_lsh_pairs_df(small, force_join=True, max_bucket=8,
+                                      on_oversize="skip")
+    out2.collect()
+    assert pairblocks.LAST_JVM_DROP_STATS.rows_dropped == 0
+
+    # bogus mode still validated eagerly on the join path
+    with pytest.raises(ValueError, match="on_oversize"):
+        dedup.minhash_lsh_pairs_df(docs, force_join=True,
+                                   on_oversize="bogus")
