@@ -249,6 +249,47 @@ GOPHER_MIN_STOP_HITS = 1
 GOPHER_MAX_DUP_FRAC = 0.6
 
 
+def _gopher_precompute(text):
+    """The two per-row intermediates every Gopher flag reads (name them
+    in a projection so they evaluate ONCE per row — CollapseProject
+    won't inline a non-trivial expression referenced many times)."""
+    return (
+        F.filter(_tokens(text), lambda t: F.length(t) > 0),
+        F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), F.lit(0)))
+        .cast("long"),
+    )
+
+
+def _gopher_flags(toks, n_punct):
+    """(n_words, {flag: Column}) from the precomputed toks/n_punct
+    Columns — shared by the flags projection and the one-scan gate."""
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, t: acc + F.length(t))
+    mean_len = sum_len.cast("double") / n.cast("double")
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(*STOPWORDS["en"]))).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    dup_frac = (n - n_distinct).cast("double") / n.cast("double")
+    flags = {
+        "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "ok_mean_len": (mean_len >= GOPHER_MIN_MEAN_LEN)
+                       & (mean_len <= GOPHER_MAX_MEAN_LEN),
+        "ok_punct": (n_punct.cast("double") / n.cast("double"))
+                    <= GOPHER_MAX_PUNCT_RATIO,
+        "ok_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
+        "ok_dup": dup_frac <= GOPHER_MAX_DUP_FRAC,
+    }
+    return n, flags
+
+
+def _conj(flags: dict):
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return keep
+
+
 def gopher_quality_flags_df(docs: DataFrame) -> DataFrame:
     """Gopher-rule document gating for any (doc_id, text) frame:
     word-count bounds, mean-word-length band, punctuation ratio, minimum
@@ -256,37 +297,33 @@ def gopher_quality_flags_df(docs: DataFrame) -> DataFrame:
     flag plus the conjunction (`keep`). One projection, zero shuffle, all
     JVM-side; ratios divide exact ints so flags are bit-identical across
     engines."""
-    docs = docs.select(
-        "doc_id",
-        F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
-        .cast("long").alias("n_punct"),
-    )
-    n = F.size(F.col("toks")).cast("long")
-    sum_len = F.aggregate(F.col("toks"), F.lit(0).cast("long"),
-                          lambda acc, t: acc + F.length(t))
-    mean_len = sum_len.cast("double") / n.cast("double")
-    stop_hits = F.size(F.filter(
-        F.col("toks"), lambda t: t.isin(*STOPWORDS["en"]))).cast("long")
-    n_distinct = F.size(F.array_distinct(F.col("toks"))).cast("long")
-    dup_frac = (n - n_distinct).cast("double") / n.cast("double")
-    flags = {
-        "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
-        "ok_mean_len": (mean_len >= GOPHER_MIN_MEAN_LEN)
-                       & (mean_len <= GOPHER_MAX_MEAN_LEN),
-        "ok_punct": (F.col("n_punct").cast("double") / n.cast("double"))
-                    <= GOPHER_MAX_PUNCT_RATIO,
-        "ok_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
-        "ok_dup": dup_frac <= GOPHER_MAX_DUP_FRAC,
-    }
-    keep = None
-    for c in flags.values():
-        keep = c if keep is None else keep & c
+    toks, n_punct = _gopher_precompute(F.col("text"))
+    docs = docs.select("doc_id", toks.alias("toks"),
+                       n_punct.alias("n_punct"))
+    n, flags = _gopher_flags(F.col("toks"), F.col("n_punct"))
     return docs.select(
         "doc_id", n.alias("n_words"),
         *[c.alias(name) for name, c in flags.items()],
-        keep.alias("keep"),
+        _conj(flags).alias("keep"),
     )
+
+
+def gopher_gate_df(docs: DataFrame) -> DataFrame:
+    """Rows of ``docs`` passing ALL Gopher gates, in ONE scan with no
+    join (r5 verdict #3): the flags are 1:1 per row, so the
+    flags→keep-ids→left-semi spelling the rehearsal pipeline used paid a
+    SECOND full scan of the fat text column plus a join that flips from
+    broadcast to a sort-merge shuffle of the whole fat table once the
+    survivor-id list outgrows the broadcast threshold — the measured
+    ×256 super-linearity (24 s @ 640k docs → 67 s @ 1.28M, BENCH.md).
+    Here the gate is a filter directly above the projection that
+    computes the flags, keeping every original column: one scan, zero
+    exchanges, identical survivor set (pytest-pinned against the flags
+    projection)."""
+    toks, n_punct = _gopher_precompute(F.col("text"))
+    tmp = docs.select("*", toks.alias("_toks"), n_punct.alias("_n_punct"))
+    _, flags = _gopher_flags(F.col("_toks"), F.col("_n_punct"))
+    return tmp.where(_conj(flags)).drop("_toks", "_n_punct")
 
 
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

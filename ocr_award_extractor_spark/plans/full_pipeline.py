@@ -85,7 +85,7 @@ def run_training_data_pipeline(
         dedup_clusters_df, dedup_exact_df,
     )
     from ocr_award_extractor_spark.operators.textstats import (
-        gopher_quality_flags_df, stratified_sample_df,
+        gopher_gate_df, stratified_sample_df,
     )
     from ocr_award_extractor_spark.plans.lineage import (
         read_committed, run_resumable_extraction, verify_lineage,
@@ -145,8 +145,10 @@ def run_training_data_pipeline(
         stage("wet_export", n_docs, do_wet)
 
     def do_gate():
-        keep = gopher_quality_flags_df(docs).where("keep").select("doc_id")
-        gated = docs.join(keep, "doc_id", "left_semi")
+        # one-scan gate (r5 verdict #3): the old flags→ids→left-semi
+        # spelling re-scanned the fat text column and sort-merge-shuffled
+        # it once the id list outgrew broadcast — the ×256 gate blowup
+        gated = gopher_gate_df(docs)
         gated = _staged(gated, os.path.join(out_dir, "gated"))
         return gated, gated.count()
 

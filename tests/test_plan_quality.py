@@ -272,3 +272,28 @@ def test_lsh_shuffled_spelling_single_shuffle_no_driver_state(spark):
     assert "Join" not in tree, plan
     # exactly one data exchange below the final distinct's
     assert tree.count("Exchange") == 2, plan      # bucket agg + distinct
+
+
+def test_gopher_gate_one_scan_no_join(spark):
+    """r5 verdict #3 (the ×256 gate-stage blowup): gopher_gate_df must be
+    a filter directly above the flag projection — ONE scan of the fat
+    text column, no join, no exchange (the old flags→ids→left-semi
+    spelling re-scanned the table and sort-merge-shuffled it once the id
+    list outgrew broadcast) — and must keep exactly the rows the flags
+    projection marks keep=true, with all original columns."""
+    from ocr_award_extractor_spark.operators.textstats import (
+        gopher_gate_df, gopher_quality_flags_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    gated = gopher_gate_df(docs)
+    assert gated.columns == docs.columns
+    plan = _plan(gated).split("\n\n(1)")[0]
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    assert plan.count("Scan ") == 1, plan
+
+    want = {r["doc_id"] for r in gopher_quality_flags_df(docs)
+            .where("keep").select("doc_id").collect()}
+    got = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert got == want and len(got) > 0
