@@ -539,7 +539,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary", "q3_revenue_by_order",
     "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "dedup_clusters",
     "simhash",
-    "jaccard_adjacent_pairs", "textstats_profile",
+    "warc_extract_roundtrip", "textstats_profile",
     "pii_redact", "bigram_topk",
     "gopher_quality_flags", "c4_sentence_filter", "stratified_sample",
     "cosine_to_query", "ann_topk_cosine",

@@ -75,24 +75,54 @@ def _skip_inline_image(content: bytes, i: int) -> int:
         k = e + 1
 
 
+_STRING_SCAN_CAP = 1 << 16
+
+
+def _skip_string(content: bytes, i: int) -> int:
+    """``i`` at an opening ``(``: index just past the matching ``)``
+    (escape-aware, arbitrary nesting — PDF 7.3.4.2 allows unescaped
+    balanced parens), or ``-1`` when no match exists within
+    ``_STRING_SCAN_CAP`` bytes. The cap bounds the damage of an
+    unbalanced ``(`` in corrupt/binary content: without it each bogus
+    open would rescan to EOF (quadratic on hostile streams) and a bogus
+    ')' megabytes later could swallow real text blocks as "string"."""
+    n = min(len(content), i + 1 + _STRING_SCAN_CAP)
+    depth, k = 1, i + 1
+    while k < n and depth:
+        ch = content[k:k + 1]
+        if ch == b"\\":
+            k += 2
+            continue
+        if ch == b"(":
+            depth += 1
+        elif ch == b")":
+            depth -= 1
+        k += 1
+    return k if depth == 0 else -1
+
+
 def _find_text_blocks(content: bytes) -> list[bytes]:
     """Bodies of the BT…ET text objects, via a STRING-AWARE linear scan:
-    INSIDE a text object, parenthesized literals (arbitrary nesting
-    depth, escape-aware) are skipped atomically, and BT/ET only count at
-    letter boundaries — so a show-text line that contains (or IS)
-    "ET"/"BT", or a name like /FNET, can never open or close a block
-    (the previous lazy ``BT(.*?)ET`` regex terminated at an ET inside a
-    literal — found by hypothesis — and the string-alternation regex
-    that replaced it dropped whole blocks on spec-legal nested parens).
+    parenthesized literals (arbitrary nesting depth, escape-aware) are
+    skipped atomically BOTH inside and outside text objects, and BT/ET
+    only count at letter boundaries — so a show-text line that contains
+    (or IS) "ET"/"BT", or a name like /FNET, can never open or close a
+    block (the previous lazy ``BT(.*?)ET`` regex terminated at an ET
+    inside a literal — found by hypothesis — and the string-alternation
+    regex that replaced it dropped whole blocks on spec-legal nested
+    parens).
 
-    OUTSIDE text objects parens are NOT tracked (ADVICE r5): an
-    unbalanced ``(`` in non-string content must not flip the scanner
-    into string-skip mode and silently eat every later BT block. The
-    two legal carriers of such bytes are skipped explicitly instead —
-    ``%`` comments run to end-of-line and ``BI…ID…EI`` inline-image
-    binary is skipped at token granularity — and a string that never
-    terminates (truncated stream) resumes scanning just after its
-    opening paren rather than consuming the tail."""
+    Outside text objects the legal string carriers are BDC/DP
+    marked-content property lists (e.g. ``/ActualText (50% off)``) — a
+    ``%`` inside one must not comment out the rest of the line and a
+    ``BT`` inside one must not open a phantom block, so those strings
+    are skipped like any other. The ADVICE-r5 hazard (an unbalanced
+    ``(`` in corrupt content flipping the scanner into string mode and
+    eating every later block) is bounded instead of special-cased: a
+    paren with no match within ``_STRING_SCAN_CAP`` bytes is treated as
+    not-a-string and scanning resumes just after it. ``%`` comments run
+    to end-of-line and ``BI…ID…EI`` inline-image binary is skipped at
+    token granularity."""
     blocks: list[bytes] = []
     i, n = 0, len(content)
     start = None
@@ -112,6 +142,12 @@ def _find_text_blocks(content: bytes) -> list[bytes]:
                                 content.find(b"\n", i)) if p >= 0]
             i = min(eols) if eols else n
             continue
+        if c == b"(":
+            k = _skip_string(content, i)
+            # no match in range: resume after the opening paren — the
+            # remaining operators (and any BT/ET) must still scan
+            i = k if k >= 0 else i + 1
+            continue
         if start is None:
             if c == b"B" and is_tok(i, b"BT"):
                 i += 2
@@ -121,22 +157,6 @@ def _find_text_blocks(content: bytes) -> list[bytes]:
                 i = _skip_inline_image(content, i)
                 continue
             i += 1
-            continue
-        if c == b"(":
-            depth, k = 1, i + 1
-            while k < n and depth:
-                ch = content[k:k + 1]
-                if ch == b"\\":
-                    k += 2
-                    continue
-                if ch == b"(":
-                    depth += 1
-                elif ch == b")":
-                    depth -= 1
-                k += 1
-            # unterminated at EOF: resume after the opening paren — the
-            # block's remaining operators (and its ET) must still scan
-            i = k if depth == 0 else i + 1
             continue
         if c == b"E" and is_tok(i, b"ET"):
             blocks.append(content[start:i])

@@ -135,7 +135,14 @@ def run_training_data_pipeline(
         def do_wet():
             n_written = write_wet(docs, wet_out, text_col="text",
                                   mode="overwrite")
-            n_back = read_wet(spark, wet_out).count()
+            # count only REAL conversion records: read_wet substitutes a
+            # warc-error:// row per corrupt record/member, so counting
+            # every row would let a shard corrupted after write (lost
+            # records replaced 1:1 by error rows) pass the completeness
+            # check this stage exists to enforce
+            n_back = (read_wet(spark, wet_out)
+                      .where(~F.col("url").startswith("warc-error://"))
+                      .count())
             if not (n_written == n_back == n_docs):
                 raise RuntimeError(
                     f"WET export incomplete: committed={n_docs} "

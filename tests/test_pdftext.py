@@ -244,3 +244,26 @@ def test_unterminated_string_resumes_after_open_paren():
            b"BT (later block) Tj ET\nendstream\n")
     lines = extract_pdf_lines(pdf)
     assert "good" in lines and "later block" in lines
+
+
+def test_property_list_string_outside_bt_is_skipped_atomically():
+    """Regression (round-6 review): BDC/DP marked-content property lists
+    are a LEGAL carrier of literal strings outside any text object. A
+    '%' inside one must not comment out the rest of the line (dropping a
+    real block), and a 'BT' inside one must not open a phantom block
+    extracting never-shown text."""
+    pdf = (b"%PDF-1.4\nstream\n"
+           b"/Span <</ActualText (50% off)>> BDC BT (deal) Tj ET EMC\n"
+           b"BT (next) Tj ET\nendstream\n")
+    assert extract_pdf_lines(pdf) == ["deal", "next"]
+
+    pdf2 = (b"%PDF-1.4\nstream\n"
+            b"/Span <</ActualText (BT \\(phantom\\) Tj ET)>> BDC\n"
+            b"BT (real) Tj ET EMC\nendstream\n")
+    assert extract_pdf_lines(pdf2) == ["real"]
+
+    # unescaped balanced variant (PDF 7.3.4.2 allows nested parens)
+    pdf3 = (b"%PDF-1.4\nstream\n"
+            b"/Span <</ActualText (BT (phantom) Tj ET)>> BDC\n"
+            b"BT (real) Tj ET EMC\nendstream\n")
+    assert extract_pdf_lines(pdf3) == ["real"]

@@ -293,7 +293,34 @@ def test_gopher_gate_one_scan_no_join(spark):
     assert "Join" not in plan and "Exchange" not in plan, plan
     assert plan.count("Scan ") == 1, plan
 
+    # the filter must read the PROJECTED _toks attribute, not re-inline
+    # tokenization: PushPredicateThroughNonJoin would substitute the
+    # alias back in (11 split() copies per row, no CSE in FilterExec) —
+    # blocked by the nondeterministic value-preserving wrapper on _toks
+    opt = gated._jdf.queryExecution().optimizedPlan().toString()
+    filter_lines = [l for l in opt.splitlines() if "Filter" in l]
+    assert len(filter_lines) == 1, opt[:500]
+    assert "split(" not in filter_lines[0], filter_lines[0][:500]
+
     want = {r["doc_id"] for r in gopher_quality_flags_df(docs)
             .where("keep").select("doc_id").collect()}
     got = {r["doc_id"] for r in gated.select("doc_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_gopher_gate_per_row_on_duplicate_doc_ids(spark):
+    """Gate semantics are PER ROW, not per doc_id: when a re-crawled url
+    yields two rows with the same doc_id — one passing the Gopher gates,
+    one failing — only the passing row survives (the old left_semi-join
+    spelling kept both, an artifact of the join, not a spec)."""
+    from ocr_award_extractor_spark.operators.textstats import gopher_gate_df
+
+    # 40+ mostly-distinct words (dup_frac gate), stopwords present,
+    # mean word length inside the [3, 12] band
+    good = ("the quick brown fox jumps over a lazy dog and " +
+            " ".join(f"word{i:02d}" for i in range(40)))
+    bad = "!!! ??? !!!"  # fails word-count + stopword gates
+    rows = [("d1", good, "a"), ("d1", bad, "b"), ("d2", bad, "c")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, tag string")
+    out = [(r["doc_id"], r["tag"]) for r in gopher_gate_df(docs).collect()]
+    assert out == [("d1", "a")]
