@@ -321,27 +321,23 @@ def gopher_gate_df(docs: DataFrame) -> DataFrame:
     exchanges, identical survivor set (pytest-pinned against the flags
     projection).
 
-    The ``_toks`` field is wrapped in a value-preserving
-    NONDETERMINISTIC guard (``when(monotonically_increasing_id() >= 0,
-    toks)`` — the id is always ≥ 0, so the value is just ``toks``):
-    without it, Catalyst's PushPredicateThroughNonJoin pushes the
-    keep-predicate BELOW the projection, substituting the ``_toks``
-    alias back in — the optimized Filter then tokenizes ``text`` ELEVEN
-    times per row, because FilterExec (unlike ProjectExec) does no
-    common-subexpression elimination across its short-circuiting
-    predicate. A detached nondeterministic field does NOT work
-    (ColumnPruning deletes it as unreferenced, re-enabling the push —
-    measured); tainting ``_toks`` itself survives pruning because every
-    conjunct references it, and no predicate over a nondeterministic
-    alias is pushable. The plan stays Filter(attrs) over
-    Project(tokenize-once) — pinned by the no-``split(``-in-Filter plan
-    assertion in tests/test_plan_quality.py. Per-row semantics on
+    The OPTIMIZED plan looks redundant on purpose: Catalyst's
+    PushPredicateThroughNonJoin pushes the keep-predicate below the
+    projection and substitutes the ``_toks`` alias back in, so the
+    printed Filter contains ELEVEN copies of the tokenization
+    expression. That is plan COSMETICS, not runtime cost — Spark's
+    subexpression-elimination evaluates the repeated subtree once per
+    row, and blocking the push with a value-preserving nondeterministic
+    wrapper on ``_toks`` (tried; a detached nondeterministic column is
+    deleted by ColumnPruning first) measured ~15% SLOWER, interleaved at
+    640k rows: 25.9 s pushed vs 30.3 s blocked. Keep the simple
+    spelling; the plan-shape test pins one scan / no join / no exchange,
+    which is what actually matters at crawl scale. Per-row semantics on
     duplicate doc_ids are intentional: each row's text is judged on its
     own (the old left_semi spelling kept EVERY row of a doc_id if any
     one passed — an artifact of the join, not a spec)."""
     toks, n_punct = _gopher_precompute(F.col("text"))
-    toks_nd = F.when(F.monotonically_increasing_id() >= 0, toks)
-    tmp = docs.select("*", toks_nd.alias("_toks"), n_punct.alias("_n_punct"))
+    tmp = docs.select("*", toks.alias("_toks"), n_punct.alias("_n_punct"))
     _, flags = _gopher_flags(F.col("_toks"), F.col("_n_punct"))
     return tmp.where(_conj(flags)).drop("_toks", "_n_punct")
 

@@ -293,14 +293,11 @@ def test_gopher_gate_one_scan_no_join(spark):
     assert "Join" not in plan and "Exchange" not in plan, plan
     assert plan.count("Scan ") == 1, plan
 
-    # the filter must read the PROJECTED _toks attribute, not re-inline
-    # tokenization: PushPredicateThroughNonJoin would substitute the
-    # alias back in (11 split() copies per row, no CSE in FilterExec) —
-    # blocked by the nondeterministic value-preserving wrapper on _toks
-    opt = gated._jdf.queryExecution().optimizedPlan().toString()
-    filter_lines = [l for l in opt.splitlines() if "Filter" in l]
-    assert len(filter_lines) == 1, opt[:500]
-    assert "split(" not in filter_lines[0], filter_lines[0][:500]
+    # NOTE: the optimized Filter deliberately shows the tokenization
+    # inlined 11x (PushPredicateThroughNonJoin) — runtime subexpression
+    # elimination makes that FASTER than blocking the push (measured
+    # 25.9 s vs 30.3 s interleaved at 640k rows; see gopher_gate_df),
+    # so no assertion on the filter's expression text here
 
     want = {r["doc_id"] for r in gopher_quality_flags_df(docs)
             .where("keep").select("doc_id").collect()}
