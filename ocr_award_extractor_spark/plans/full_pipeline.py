@@ -29,6 +29,8 @@ the brief's LLM-data section asks for, composed from the §2 operators.
 
 Run:  python -m ocr_award_extractor_spark.plans.full_pipeline \
           --input <pages parquet> --output /tmp/rehearsal [--run-id r1]
+      # crawl-native in AND out, one command:
+      ... --input <warc shards> --input-format warc --wet-out <dir>
 """
 
 from __future__ import annotations
@@ -216,7 +218,16 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         description="full training-data pipeline rehearsal")
     p.add_argument("--input", required=True,
-                   help="parquet dir of pages (url, warc_ts, html, text, lang)")
+                   help="parquet dir of pages (url, warc_ts, html, text, "
+                        "lang), or a dir of WARC shards with "
+                        "--input-format warc")
+    p.add_argument("--input-format", default="parquet",
+                   choices=("parquet", "warc"),
+                   help="'warc' reads raw WARC/1.0 shards (plain or "
+                        "Common Crawl gzip-member-per-record) via "
+                        "read_warc: corrupt records surface as "
+                        "warc-error:// rows and ride the extraction "
+                        "error-row contract instead of killing the job")
     p.add_argument("--output", required=True, help="stage output root")
     p.add_argument("--run-id", default="rehearsal")
     p.add_argument("--master", default=None)
@@ -240,7 +251,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("full-pipeline", master=args.master)
     try:
-        pages = spark.read.parquet(args.input)
+        if args.input_format == "warc":
+            from ocr_award_extractor_spark.sources.warc import read_warc
+
+            pages = read_warc(spark, args.input)
+        else:
+            pages = spark.read.parquet(args.input)
         summary = run_training_data_pipeline(
             spark, pages, args.output, args.run_id,
             n_splits=args.n_splits, n_batches=args.n_batches,

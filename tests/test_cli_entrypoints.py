@@ -53,3 +53,35 @@ def test_full_pipeline_cli(tmp_path):
     seq = [rows[k] for k in ("extracted", "gated", "exact_unique",
                              "neardup_unique", "sampled")]
     assert all(a >= b for a, b in zip(seq, seq[1:])) and rows["sampled"] >= 0
+
+
+def test_full_pipeline_cli_warc_input(tmp_path, spark):
+    """Crawl-in → crawl-out in ONE command (round 6): the rehearsal CLI
+    accepts raw WARC shards via --input-format warc, runs the whole
+    chain, and exports WET. The WARC fixture is written by write_warc
+    from the same seeded corpus the parquet-input test uses, so the row
+    story must match that path's (minus nothing: read_warc is
+    byte-identical on clean shards)."""
+    from ocr_award_extractor_spark.sources.tables import ensure_fixture
+    from ocr_award_extractor_spark.sources.warc import write_warc
+
+    pages = spark.read.parquet(ensure_fixture(n_docs=50))
+    warc_dir = str(tmp_path / "warc_in")
+    write_warc(pages.repartition(2), warc_dir)
+
+    summary = _run([
+        "ocr_award_extractor_spark.plans.full_pipeline",
+        "--input", warc_dir, "--input-format", "warc",
+        "--output", str(tmp_path / "out"),
+        "--run-id", "cli-warc", "--master", "local[4]",
+        "--n-splits", "2", "--n-batches", "1",
+        "--wet-out", str(tmp_path / "wet_out"),
+    ])
+    assert [s["stage"] for s in summary["stages"]] == [
+        "extract", "wet_export", "gopher_gate", "exact_dedup",
+        "neardup_clusters", "stratified_sample", "verify_lineage"]
+    rows = summary["rows"]
+    assert rows["pages"] == 50 and 40 <= rows["extracted"] <= 50
+    anomalies = [s for s in summary["stages"]
+                 if s["stage"] == "verify_lineage"][0]["rows_out"]
+    assert anomalies == 0
