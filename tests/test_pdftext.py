@@ -267,3 +267,67 @@ def test_property_list_string_outside_bt_is_skipped_atomically():
             b"/Span <</ActualText (BT (phantom) Tj ET)>> BDC\n"
             b"BT (real) Tj ET EMC\nendstream\n")
     assert extract_pdf_lines(pdf3) == ["real"]
+
+
+def test_structured_stream_fuzz():
+    """Property (round 6, amped to 8500 examples offline): content
+    streams interleaving BT blocks, %-comments, BDC/DP property-list
+    strings (with %/BT/ET/parens inside), inline images with hostile
+    binary, and stray tokens — extracted lines must equal exactly the
+    shown strings of the real blocks, in order."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_award_extractor_spark.functions.pdftext import _find_text_blocks
+
+    shown_st = st.text(
+        st.characters(min_codepoint=32, max_codepoint=126,
+                      exclude_characters="\\"),
+        min_size=1, max_size=30).map(str.strip).filter(bool)
+
+    def esc(s):
+        return s.replace("(", r"\(").replace(")", r"\)").encode()
+
+    def block_seg(lines):
+        body = b" ".join(b"(" + esc(t) + b") Tj" for t in lines)
+        return (b"BT " + body + b" ET", list(lines))
+
+    hostile_st = st.lists(
+        st.sampled_from(["BT ", "ET ", "Tj ", "% ", "q Q ", "deal ",
+                         "50% ", "\x00\xff ", "EIx ", "ID "]),
+        max_size=6).map("".join)
+
+    def clean(j):
+        return j.replace("\n", " ").replace("\r", " ")
+
+    seg_st = st.one_of(
+        st.lists(shown_st, min_size=1, max_size=3).map(block_seg),
+        hostile_st.map(lambda j: (b"% " + clean(j).encode("latin-1")
+                                  + b"\n", [])),
+        st.tuples(hostile_st, st.booleans()).map(
+            lambda t: (b"/Span <</ActualText ("
+                       + (esc(clean(t[0])) if t[1]
+                          else b"(" + clean(t[0]).encode("latin-1") + b")")
+                       + b")>> BDC EMC", [])),
+        hostile_st.map(lambda j: (b"BI /W 2 /H 2 ID "
+                                  + j.encode("latin-1").replace(b" EI ",
+                                                                b" xI ")
+                                  + b" EI", [])),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(seg_st, min_size=1, max_size=8))
+    def prop(segs):
+        content = b"\n".join(s for s, _ in segs)
+        want = [line for _, lines in segs for line in lines]
+        got = []
+        for body in _find_text_blocks(content):
+            for m in re.finditer(rb"\((?:\\.|[^\\()])*\)", body):
+                raw = m.group(0)[1:-1]
+                got.append(raw.replace(rb"\(", b"(")
+                           .replace(rb"\)", b")").decode("latin-1"))
+        assert got == want, (content, got, want)
+
+    prop()
