@@ -139,6 +139,41 @@ def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def guessed_lang_expr(text) -> "F.Column":
+    """The stopword-vote language guess as a single Column over a text
+    Column — the same votes and pinned tie order (en > fr > de > es) as
+    ``lang_guess``/``textstats_profile``, reusable inside any
+    projection. One tokenization; all JVM-side."""
+    toks = _tokens(text)
+
+    def _hit_counter(words):
+        return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
+
+    hits = {lg: _hit_counter(words) for lg, words in STOPWORDS.items()}
+    return (
+        F.when((hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"])
+               & (hits["en"] >= hits["es"]), "en")
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), "fr")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+
+
+def fill_missing_lang_df(docs: DataFrame) -> DataFrame:
+    """``docs`` with NULL/empty ``lang`` filled by the stopword-vote
+    guess over ``text``; rows that already carry a language are
+    untouched (CaseWhen evaluates the guess branch only for rows that
+    need it, so a mostly-labelled table pays one cheap predicate per
+    row). This is the crawl-native glue: read_warc leaves ``lang``
+    empty by design — language-ID is an ENGINE operator, not a source
+    field — and downstream strata (stratified_sample) need it filled."""
+    missing = F.col("lang").isNull() | (F.col("lang") == "")
+    return docs.withColumn(
+        "lang",
+        F.when(missing, guessed_lang_expr(F.col("text")))
+        .otherwise(F.col("lang")))
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling hash of the whitespace-normalized
     text (mod 1e9+7, base 131) — a sequential fold, spelled with the

@@ -87,7 +87,7 @@ def run_training_data_pipeline(
         dedup_clusters_df, dedup_exact_df,
     )
     from ocr_award_extractor_spark.operators.textstats import (
-        gopher_gate_df, stratified_sample_df,
+        fill_missing_lang_df, gopher_gate_df, stratified_sample_df,
     )
     from ocr_award_extractor_spark.plans.lineage import (
         read_committed, run_resumable_extraction, verify_lineage,
@@ -115,11 +115,15 @@ def run_training_data_pipeline(
                                  n_splits=n_splits, n_batches=n_batches)
         committed = read_committed(spark, extract_dir)
         # the dedup/gate operators speak (doc_id, text, lang); error rows
-        # (status != success) leave the pipeline here, as in production
+        # (status != success) leave the pipeline here, as in production.
+        # Crawl-native input (read_warc) carries no lang — fill it from
+        # the engine's own stopword-vote guess so downstream strata
+        # (stratified_sample) are real; labelled rows are untouched
         docs = committed.where(F.col("status") == "success").select(
             doc_id_expr(id_bits), "url",
             F.col("ocr_text").alias("text"), "lang",
         )
+        docs = fill_missing_lang_df(docs)
         docs = _staged(docs, os.path.join(out_dir, "docs"))
         return docs, docs.count()
 

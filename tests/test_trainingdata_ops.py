@@ -518,3 +518,26 @@ def test_join_spelling_skip_drops_are_observed(spark, flood_dir):
     with pytest.raises(ValueError, match="on_oversize"):
         dedup.minhash_lsh_pairs_df(docs, force_join=True,
                                    on_oversize="bogus")
+
+
+def test_fill_missing_lang(spark):
+    """fill_missing_lang_df: NULL/empty lang filled by the stopword-vote
+    guess (same votes + tie order as lang_guess), labelled rows
+    untouched."""
+    from ocr_award_extractor_spark.operators.textstats import (
+        fill_missing_lang_df,
+    )
+
+    rows = [
+        ("d1", "the cat and the dog over a fence of hay", "zh"),
+        ("d2", "the cat and the dog over a fence of hay", None),
+        ("d3", "le chat et le chien sur la table et les murs", ""),
+        ("d4", "der hund und die katze mit dem das ein", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    got = {r["doc_id"]: r["lang"]
+           for r in fill_missing_lang_df(docs).collect()}
+    assert got["d1"] == "zh"          # labelled row untouched
+    assert got["d2"] == "en"
+    assert got["d3"] == "fr"
+    assert got["d4"] == "de"
