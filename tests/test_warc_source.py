@@ -406,3 +406,33 @@ def test_warc_extract_roundtrip_matches_in_memory_pipeline(spark):
     want = {tuple(r) for r in entrymod.queries()["extract_pipeline_text"](
         spark, sf).collect()}
     assert got == want and len(got) > 0
+
+
+def test_gunzip_members_resync_fuzz():
+    """Property (round 6, amped to 2000 examples offline): junk spliced
+    at any member boundary — every clean member's bytes still recovered,
+    and the junk reported as an error, never raised."""
+    import gzip
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_award_extractor_spark.sources.warc import gunzip_members
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.binary(min_size=1, max_size=200), min_size=1,
+                    max_size=6),
+           st.binary(min_size=1, max_size=60),
+           st.integers(min_value=0, max_value=6))
+    def check(parts, junk, pos):
+        if b"\x1f\x8b" in junk:        # junk containing the magic may
+            return                      # legitimately parse — skip
+        members = [gzip.compress(p) for p in parts]
+        pos = min(pos, len(members))
+        blob = b"".join(members[:pos]) + junk + b"".join(members[pos:])
+        out, errs = gunzip_members(blob)
+        for p in parts:
+            assert p in out, (parts, junk, pos, out, errs)
+        assert errs
+
+    check()
