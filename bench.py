@@ -513,6 +513,44 @@ def run_approx_quality(spark) -> dict:
             f"recall={out[tag]['lsh_recall']} ivf_overlap={out[tag]['ivf_topk_overlap']} "
             f"strict090 (B={b9},R={r9}) cand={n_cand9}")
 
+        # trained-vs-seed IVF centroids (round 6): spherical k-means
+        # improves assignment distortion AND mean recall@k per probe —
+        # measured over 20 queries (a single query is too noisy: vec_id 0
+        # on this corpus LOSES recall with trained centroids while the
+        # 20-query mean gains at every nprobe)
+        if tag.startswith("emb_x4"):
+            from ocr_award_extractor_spark.operators.similarity import (
+                _emb_and_centroids, ivf_train_centroids_df,
+            )
+
+            emb_df, seed_df = _emb_and_centroids(spark, sf_dir)
+            trained_df = ivf_train_centroids_df(emb_df, n_iter=5)
+
+            def _cnorm(df):
+                rs = sorted(df.collect(), key=lambda r: r["cid"])
+                C = np.array([list(r["cv"]) for r in rs], dtype=np.float64)
+                return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+            ivf_trained = {}
+            for ctag, cdf in (("seed", seed_df), ("trained", trained_df)):
+                Cn = _cnorm(cdf)
+                assign = (En @ Cn.T).argmax(axis=1)
+                per_probe = {}
+                for p in (1, 2, 4):
+                    recalls = []
+                    for qi in range(20):
+                        sims = En @ En[qi]
+                        sims[qi] = -2.0
+                        true10 = set(np.argsort(-sims)[:TOP_K])
+                        qc = np.argsort(-(Cn @ En[qi]))[:p]
+                        cand = set(np.where(np.isin(assign, qc))[0]) - {qi}
+                        got10 = sorted(cand, key=lambda i: -sims[i])[:TOP_K]
+                        recalls.append(len(true10 & set(got10)) / TOP_K)
+                    per_probe[p] = round(float(np.mean(recalls)), 3)
+                ivf_trained[ctag] = per_probe
+            out[tag]["ivf_recall20_by_nprobe"] = ivf_trained
+            log(f"  ivf recall@10 over 20 queries: {ivf_trained}")
+
     tags = list(out)
     steps = []
     for a_tag, b_tag in zip(tags, tags[1:]):

@@ -541,3 +541,43 @@ def test_fill_missing_lang(spark):
     assert got["d2"] == "en"
     assert got["d3"] == "fr"
     assert got["d4"] == "de"
+
+
+def test_ivf_train_centroids_improves_and_is_deterministic(spark):
+    """Spherical k-means trainer: (a) mean cosine-to-assigned-centroid
+    strictly improves over the seed (first-K) centroids on the driver
+    embeddings table; (b) the result is bit-identical under a different
+    input partitioning (exact int sums, unique argmax tie-break)."""
+    from ocr_award_extractor_spark.operators.similarity import (
+        _emb_and_centroids, ivf_mean_cosine_df, ivf_train_centroids_df,
+    )
+
+    emb, seed = _emb_and_centroids(spark, "/root/testdata/sf0.001")
+    base = ivf_mean_cosine_df(emb, seed).collect()[0]["mean_cos"]
+    trained = ivf_train_centroids_df(emb, n_iter=3)
+    after = ivf_mean_cosine_df(emb, trained).collect()[0]["mean_cos"]
+    assert after > base
+
+    again = ivf_train_centroids_df(emb.repartition(7), n_iter=3)
+    assert ({r["cid"]: list(r["cv"]) for r in trained.collect()}
+            == {r["cid"]: list(r["cv"]) for r in again.collect()})
+
+
+def test_ivf_train_centroids_empty_cluster_keeps_seed(spark):
+    """A centroid that attracts no vectors (duplicate seed — ties go to
+    the lower cid) must keep its previous value, not vanish or crash."""
+    from ocr_award_extractor_spark.operators.similarity import (
+        ivf_train_centroids_df,
+    )
+    from pyspark.sql import functions as F
+
+    v = [1000] * 8
+    w = [-1000] * 8
+    rows = [(0, v), (1, list(v)), (2, w), (3, [995] * 8), (4, [-990] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, qe array<long>") \
+        .withColumn("label", F.lit("x"))
+    cent = {r["cid"]: list(r["cv"]) for r in
+            ivf_train_centroids_df(emb, k=2, n_iter=2).collect()}
+    assert set(cent) == {0, 1}
+    assert cent[1] == v          # starved duplicate seed kept verbatim
+    assert all(c > 0 for c in cent[0])
