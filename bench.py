@@ -529,7 +529,8 @@ def run_approx_quality(spark) -> dict:
             def _cnorm(df):
                 rs = sorted(df.collect(), key=lambda r: r["cid"])
                 C = np.array([list(r["cv"]) for r in rs], dtype=np.float64)
-                return C / np.linalg.norm(C, axis=1, keepdims=True)
+                nrm = np.linalg.norm(C, axis=1, keepdims=True)
+                return C / np.where(nrm == 0, 1.0, nrm)  # zero seed: no NaN
 
             ivf_trained = {}
             for ctag, cdf in (("seed", seed_df), ("trained", trained_df)):

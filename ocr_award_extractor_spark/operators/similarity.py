@@ -722,6 +722,11 @@ def ivf_train_centroids_df(emb: DataFrame, k: int = IVF_K,
         new = {int(r["cid"]): [int(round(r[f"s{i}"] / r["n"]))
                                for i in range(dim)]
                for r in sums.collect()}
+        # a mean that rounds to the all-zero vector has no direction:
+        # its cosine is NULL to everything next iteration, permanently
+        # starving the centroid — treat it like an empty cluster and
+        # keep the previous value instead
+        new = {cid: cv for cid, cv in new.items() if any(cv)}
         cent_rows = [(cid, new.get(cid, cv)) for cid, cv in cent_rows]
     return as_df(cent_rows)
 

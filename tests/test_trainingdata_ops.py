@@ -581,3 +581,36 @@ def test_ivf_train_centroids_empty_cluster_keeps_seed(spark):
     assert set(cent) == {0, 1}
     assert cent[1] == v          # starved duplicate seed kept verbatim
     assert all(c > 0 for c in cent[0])
+
+
+def test_ivf_topk_accepts_trained_centroids(spark):
+    """ivf_topk_cosine(centroids=...) must run the trained (cid, cv)
+    frame through the probe/assign/join path end-to-end: TOP_K rows of
+    real vec_ids, all distinct, none the query itself."""
+    from ocr_award_extractor_spark.operators.similarity import (
+        TOP_K, _emb_and_centroids, ivf_topk_cosine, ivf_train_centroids_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb, _ = _emb_and_centroids(spark, sf)
+    trained = ivf_train_centroids_df(emb, n_iter=2)
+    rows = ivf_topk_cosine(spark, sf, nprobe=2, centroids=trained).collect()
+    assert len(rows) == TOP_K
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == TOP_K and 0 not in ids
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert set(ids) <= all_ids
+
+
+def test_fill_missing_lang_null_text_defaults_en(spark):
+    """NULL text carries no signal: the guess must resolve through the
+    pinned tie order to 'en' — not fall through every NULL comparison
+    into the otherwise-branch 'es'."""
+    from ocr_award_extractor_spark.operators.textstats import (
+        fill_missing_lang_df,
+    )
+
+    rows = [("d1", None, None), ("d2", "", None)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    got = {r["doc_id"]: r["lang"] for r in fill_missing_lang_df(docs).collect()}
+    assert got == {"d1": "en", "d2": "en"}
