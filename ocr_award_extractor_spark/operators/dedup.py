@@ -433,8 +433,8 @@ def jaccard_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOT in the driver registry since round 6: its 50-slot seat was freed
     for ``warc_extract_roundtrip`` (r5 verdict #1). Semantics stay
-    pinned by tests/test_trainingdata_ops.py (planted values) and
-    tests/test_dedup_oracles.py (DuckDB parity at sf0.001)."""
+    pinned by tests/test_trainingdata_ops.py (planted values +
+    DuckDB parity at sf0.001)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -459,6 +459,74 @@ def jaccard_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "n_a", "n_b", F.col("n_inter").cast("long").alias("n_inter"),
         (F.col("n_inter").cast("double") / union.cast("double")).alias("jaccard"),
     )
+
+
+# ------------------------------------------------- corpus-level line dedup
+LINE_TOKENS = 3               # tokens per derived line (corpus has no \n)
+
+
+def line_dedup_corpus_df(docs: DataFrame) -> DataFrame:
+    """Cross-CORPUS line-level deduplication (RefinedWeb §3.4 / CCNet
+    shape): every line that appears anywhere earlier in the corpus is
+    removed, keeping only its FIRST occurrence in the (doc_id, seq)
+    total order; each document is then reassembled from its surviving
+    lines in original order. Returns per-doc
+    (doc_id, n_lines, n_kept, kept_md5) where kept_md5 fingerprints the
+    newline-rejoined surviving text.
+
+    The corpus text is newline-free, so lines are derived
+    deterministically first — '\\n' inserted every LINE_TOKENS tokens via
+    the same regex chunker the C4 sentence gate uses, which makes the
+    dedup REAL on this corpus (~19% of line occurrences are cross-doc
+    duplicates at sf0.01).
+
+    Scale shape — the one that survives boilerplate skew: first-occurrence
+    selection is a ``min(struct(doc_id, seq, line))`` GROUP BY on the line
+    hash, i.e. a map-side-combinable partial aggregation, NOT a
+    ``row_number() OVER (PARTITION BY hash)`` window. At crawl scale the
+    hot keys are exactly the boilerplate lines ("Share on Facebook" ×10⁹):
+    a window funnels each hot hash through one task's sort, while the
+    partial agg collapses every map partition's occurrences to one row
+    before the exchange, so the shuffle carries one row per distinct line
+    per map task regardless of skew. Reassembly and the per-doc totals are
+    two narrow per-doc aggregations joined at the end — the fat line text
+    crosses the wire once (inside the min-struct), never in a join
+    payload. Three shuffles total (line-hash agg, two doc_id aggs), all
+    partial-agg; no window, no skew cliff."""
+    line_re = r"((?:\S+ ){%d}\S+) " % (LINE_TOKENS - 1)
+    lined = F.regexp_replace(F.col("text"), line_re, "$1\n")
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(lined, "\n")).alias("seq", "line")
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    firsts = (
+        lines.groupBy(F.md5("line").alias("h"))
+        .agg(F.min(F.struct("doc_id", "seq", "line")).alias("first"))
+        .select(F.col("first.doc_id").alias("doc_id"),
+                F.col("first.seq").alias("seq"),
+                F.col("first.line").alias("line"))
+    )
+    kept = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "line"))),
+            lambda s: s["line"]))).alias("kept_md5"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id", "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+    )
+
+
+def line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup_corpus_df over the driver documents table (oracle
+    slot — took ``ivf_assign``'s registry seat in round 6; the IVF
+    assignment stays pytest-pinned against its DuckDB oracle in
+    tests/test_trainingdata_ops.py and is still exercised
+    end-to-end inside the driver-graded ``ivf_topk_cosine``)."""
+    return line_dedup_corpus_df(load_table(spark, sf_dir, "documents"))
 
 
 def _mh_min_sql(j: int) -> str:
@@ -490,7 +558,36 @@ _BAND_COND = " OR ".join(
     for b in range(MH_B)
 )
 
+_LINE_CTE = rf"""
+    WITH lines AS (
+        SELECT doc_id, generate_subscripts(l, 1) - 1 AS seq, unnest(l) AS line
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(text,
+                         '((?:\S+ ){{{LINE_TOKENS - 1}}}\S+) ',
+                         '\1' || chr(10), 'g'), chr(10)) AS l
+              FROM documents)
+    )
+"""
+
 ORACLES = {
+    "line_dedup_corpus": _LINE_CTE + """
+        , marked AS (
+            SELECT doc_id, seq, line,
+                   row_number() OVER (PARTITION BY md5(line)
+                                      ORDER BY doc_id, seq) AS rn
+            FROM lines
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        ), kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(line, chr(10) ORDER BY seq)) AS kept_md5
+            FROM marked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_lines,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(k.kept_md5, md5('')) AS kept_md5
+        FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
     "dedup_exact": r"""
         SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
                count(*) AS n_docs, min(doc_id) AS keeper
@@ -551,4 +648,5 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "simhash": simhash,
+    "line_dedup_corpus": line_dedup_corpus,
 }

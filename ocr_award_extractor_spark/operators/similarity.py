@@ -749,8 +749,12 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid by
     cosine (tie-break centroid id asc). Centroids are the first IVF_K
     vectors (deterministic — ivf_train_centroids_df's spherical k-means
-    slots in here unchanged; the driver-graded slot keeps the seed
-    centroids so the DuckDB oracle stays closed-form).
+    slots in here unchanged; the seed centroids keep the DuckDB oracle
+    closed-form). Since round 6 this is pytest-graded
+    (IVF_ASSIGN_ORACLE_SQL parity in tests/test_trainingdata_ops.py
+    — its registry seat went to line_dedup_corpus), and the identical
+    assignment subtree still runs inside the driver-graded
+    ivf_topk_cosine.
 
     Scale shape: centroids broadcast (no shuffle to score), argmax via
     groupBy + max(struct) — plans as a two-phase SortAggregate with
@@ -1037,9 +1041,6 @@ ORACLES = {
     # both sides), so the recall-bounded candidate set is exactly
     # reproducible — gate-scale constants here, per-sf via oracles_for_scale
     **lsh_oracles(),
-    "ivf_assign": _IVF_ASSIGN_CTE + """
-        SELECT vec_id, label, CAST(cid AS BIGINT) AS centroid FROM a1
-    """,
     "ivf_topk_cosine": _IVF_ASSIGN_CTE + f"""
         , qq AS (
             SELECT e AS q, cid AS qcid FROM a1 WHERE vec_id = 0
@@ -1065,6 +1066,13 @@ QUERIES = {
     "lsh_buckets": lsh_buckets,
     "lsh_neardup_pairs": lsh_neardup_pairs,
     "embedding_neardup_clusters": embedding_neardup_clusters,
-    "ivf_assign": ivf_assign,
     "ivf_topk_cosine": ivf_topk_cosine,
 }
+
+# ivf_assign left the 50-slot driver registry in round 6 (seat traded to
+# dedup.line_dedup_corpus). Its DuckDB parity stays pytest-enforced via
+# this oracle (tests/test_trainingdata_ops.py), and the same
+# assignment subtree runs inside the driver-graded ivf_topk_cosine.
+IVF_ASSIGN_ORACLE_SQL = _IVF_ASSIGN_CTE + """
+    SELECT vec_id, label, CAST(cid AS BIGINT) AS centroid FROM a1
+"""

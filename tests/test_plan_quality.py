@@ -321,3 +321,18 @@ def test_gopher_gate_per_row_on_duplicate_doc_ids(spark):
     docs = spark.createDataFrame(rows, "doc_id string, text string, tag string")
     out = [(r["doc_id"], r["tag"]) for r in gopher_gate_df(docs).collect()]
     assert out == [("d1", "a")]
+
+
+def test_line_dedup_partial_agg_no_window(spark):
+    """Corpus line dedup must pick first occurrences with a map-side
+    combinable min(struct) aggregation, never a row_number window over
+    the line hash: at crawl scale the hot keys ARE the boilerplate lines
+    and a window funnels each one through a single task's sort. Pin:
+    no Window node anywhere, a partial_min below an exchange, and the
+    final stitch joins two narrow per-doc aggregates."""
+    from ocr_award_extractor_spark.operators.dedup import line_dedup_corpus
+
+    plan = _plan(line_dedup_corpus(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "partial_count" in plan, plan

@@ -614,3 +614,75 @@ def test_fill_missing_lang_null_text_defaults_en(spark):
     docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
     got = {r["doc_id"]: r["lang"] for r in fill_missing_lang_df(docs).collect()}
     assert got == {"d1": "en", "d2": "en"}
+
+
+# ------------------------------------------------ corpus line dedup (r6)
+def test_line_dedup_planted_first_occurrence_wins(spark, tmp_path):
+    """RefinedWeb-style corpus line dedup on planted 3-token lines: a
+    line repeated across docs survives only at its first (doc_id, seq)
+    position; a doc made entirely of earlier-seen lines keeps nothing;
+    reassembly md5 is over the surviving lines newline-joined in
+    original order."""
+    import hashlib
+
+    from ocr_award_extractor_spark.operators.dedup import line_dedup_corpus_df
+
+    rows = [
+        (0, "a b c d e f"),      # lines: "a b c", "d e f" (both first)
+        (1, "a b c x y z"),      # "a b c" is a dup -> only "x y z" kept
+        (2, "d e f"),            # entirely seen before -> nothing kept
+        (3, "x y z q r s"),      # "x y z" dup, "q r s" first
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"])
+           for r in line_dedup_corpus_df(docs).collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0] == (2, 2, h("a b c\nd e f"))
+    assert got[1] == (2, 1, h("x y z"))
+    assert got[2] == (1, 0, h(""))
+    assert got[3] == (2, 1, h("q r s"))
+
+
+def test_line_dedup_kept_total_is_distinct_lines(spark):
+    """Conservation: summed n_kept over the corpus == number of DISTINCT
+    derived lines (each distinct line survives exactly once, somewhere),
+    and n_lines sums to the total line occurrences."""
+    from ocr_award_extractor_spark.operators.dedup import (
+        LINE_TOKENS, line_dedup_corpus,
+    )
+    from ocr_award_extractor_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = line_dedup_corpus(spark, sf)
+    tot = out.agg(F.sum("n_lines").alias("nl"),
+                  F.sum("n_kept").alias("nk")).collect()[0]
+    line_re = r"((?:\S+ ){%d}\S+) " % (LINE_TOKENS - 1)
+    lines = load_table(spark, sf, "documents").select(
+        F.explode(F.split(F.regexp_replace("text", line_re, "$1\n"),
+                          "\n")).alias("line"))
+    assert tot["nl"] == lines.count()
+    assert tot["nk"] == lines.distinct().count()
+    assert tot["nk"] < tot["nl"]          # the dedup is real on this corpus
+
+
+def test_ivf_assign_duckdb_parity_sf0001(spark):
+    """ivf_assign left the driver registry in round 6 (seat traded to
+    line_dedup_corpus), so its DuckDB-oracle parity lives here, over the
+    same sf0.001 embeddings table the driver would have used."""
+    import duckdb
+
+    from ocr_award_extractor_spark.operators.similarity import (
+        IVF_ASSIGN_ORACLE_SQL, ivf_assign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in ivf_assign(spark, sf).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in con.execute(IVF_ASSIGN_ORACLE_SQL).fetchall())
+    assert got == want and len(got) > 0
