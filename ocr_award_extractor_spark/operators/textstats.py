@@ -282,6 +282,13 @@ GOPHER_MAX_MEAN_LEN = 12.0
 GOPHER_MAX_PUNCT_RATIO = 0.6
 GOPHER_MIN_STOP_HITS = 1
 GOPHER_MAX_DUP_FRAC = 0.6
+# repetition-removal signals (Gopher §A1.1 "repetitious text"): lines are
+# derived every GOPHER_LINE_TOKENS tokens (the corpus is newline-free —
+# same chunker as dedup.line_dedup_corpus), bigrams from adjacent tokens
+GOPHER_LINE_TOKENS = 3
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_2GRAM_CHAR_FRAC = 0.20
 
 
 def _gopher_precompute(text):
@@ -297,7 +304,21 @@ def _gopher_precompute(text):
 
 def _gopher_flags(toks, n_punct):
     """(n_words, {flag: Column}) from the precomputed toks/n_punct
-    Columns — shared by the flags projection and the one-scan gate."""
+    Columns — shared by the flags projection and the one-scan gate.
+
+    The round-6 repetition signals (Gopher §A1.1) stay per-ROW array
+    expressions — no shuffle enters the gate: lines are LINE_TOKENS-token
+    slices of toks, bigrams adjacent token pairs. The accounting is
+    deliberately LINEAR-ish per row: duplicate-line chars fall out of the
+    identity dups = line_chars − Σ len(distinct lines) (every occurrence
+    of a line has the same length), and the most-frequent-bigram coverage
+    is a single run-length fold over the SORTED bigram array — the naive
+    count-each-distinct-against-all spelling is O(n²) interpreted-lambda
+    comparisons per row and measured 25×+ slower at 640k rehearsal rows
+    (it timed out an 8-minute budget the linear spelling finishes in
+    seconds). Fractions use try_divide so an empty doc yields NULL flags
+    (dropped by the gate) on BOTH engines instead of an ANSI divide
+    error."""
     n = F.size(toks).cast("long")
     sum_len = F.aggregate(toks, F.lit(0).cast("long"),
                           lambda acc, t: acc + F.length(t))
@@ -306,6 +327,54 @@ def _gopher_flags(toks, n_punct):
         toks, lambda t: t.isin(*STOPWORDS["en"]))).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
     dup_frac = (n - n_distinct).cast("double") / n.cast("double")
+
+    lt = GOPHER_LINE_TOKENS
+    empty = F.array().cast("array<string>")
+    n_lines = F.floor((n + F.lit(lt - 1)).cast("double") / F.lit(lt)).cast("int")
+    lines = F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * lt + 1, lt)),
+    )).otherwise(empty)
+    nl = F.size(lines).cast("long")
+    dup_line_frac = F.try_divide(
+        (nl - F.size(F.array_distinct(lines)).cast("long")).cast("double"),
+        nl.cast("double"))
+    # chars in every occurrence AFTER a line's first: occurrences of the
+    # same line all have the same length, so dup chars = total − distinct
+    def _sum_len(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+
+    line_chars = _sum_len(lines)
+    dup_line_chars = line_chars - _sum_len(F.array_distinct(lines))
+    dup_line_char_frac = F.try_divide(dup_line_chars.cast("double"),
+                                      line_chars.cast("double"))
+
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), (n - 1).cast("int")),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                           F.element_at(toks, i + 1)),
+    )).otherwise(empty)
+
+    # run-length fold over the sorted bigrams: best = max over runs of
+    # run_length × len(bigram)
+    def _fold(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"],
+                       run * F.length(x).cast("long")).alias("best"))
+
+    top2_chars = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        _fold, lambda acc: acc["best"])
+    # denominator: the single-space-normalized document length
+    top_2gram_char_frac = F.try_divide(
+        top2_chars.cast("double"), (sum_len + n - 1).cast("double"))
+
     flags = {
         "ok_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
         "ok_mean_len": (mean_len >= GOPHER_MIN_MEAN_LEN)
@@ -314,6 +383,11 @@ def _gopher_flags(toks, n_punct):
                     <= GOPHER_MAX_PUNCT_RATIO,
         "ok_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
         "ok_dup": dup_frac <= GOPHER_MAX_DUP_FRAC,
+        "ok_dup_lines": dup_line_frac <= GOPHER_MAX_DUP_LINE_FRAC,
+        "ok_dup_line_chars":
+            dup_line_char_frac <= GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        "ok_top_2gram":
+            top_2gram_char_frac <= GOPHER_MAX_TOP_2GRAM_CHAR_FRAC,
     }
     return n, flags
 
@@ -476,27 +550,71 @@ ORACLES = {
                    len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct
             FROM documents
         ), m AS (
-            SELECT doc_id, len(toks) AS n, n_punct,
+            SELECT doc_id, toks, len(toks) AS n, n_punct,
                    list_reduce(list_prepend(0, list_transform(toks, x -> len(x))),
                                (a, b) -> a + b) AS sum_len,
                    len(list_filter(toks, x -> x IN ({_stop_sql(STOPWORDS['en'])}))) AS stop_hits,
-                   len(list_distinct(toks)) AS n_distinct
+                   len(list_distinct(toks)) AS n_distinct,
+                   CASE WHEN len(toks) > 0 THEN
+                       list_transform(
+                           range(1, CAST(floor((len(toks) + {GOPHER_LINE_TOKENS - 1})
+                                               / {GOPHER_LINE_TOKENS}.0) AS BIGINT) + 1),
+                           i -> array_to_string(
+                               list_slice(toks, (i - 1) * {GOPHER_LINE_TOKENS} + 1,
+                                          i * {GOPHER_LINE_TOKENS}), ' '))
+                   ELSE [] END AS lines,
+                   CASE WHEN len(toks) >= 2 THEN
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END AS grams
             FROM t
+        ), gtop AS (
+            SELECT doc_id, max(c * l) AS top2_chars FROM (
+                SELECT doc_id, count(*) AS c, CAST(len(g) AS BIGINT) AS l
+                FROM (SELECT doc_id, unnest(grams) AS g FROM m)
+                GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ), m2 AS (
+            SELECT m.doc_id AS doc_id, n, n_punct, sum_len, stop_hits,
+                   n_distinct,
+                   len(lines) AS nl,
+                   len(lines) - len(list_distinct(lines)) AS dup_lines,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(lines, x -> CAST(len(x) AS BIGINT))),
+                       (a, b) -> a + b)
+                   AS line_chars,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(lines, x -> CAST(len(x) AS BIGINT))),
+                       (a, b) -> a + b)
+                     - list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_distinct(lines),
+                                          x -> CAST(len(x) AS BIGINT))),
+                           (a, b) -> a + b) AS dup_line_chars,
+                   coalesce(gtop.top2_chars, 0) AS top2_chars
+            FROM m LEFT JOIN gtop ON m.doc_id = gtop.doc_id
+        ), fl AS (
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS} AS ok_word_count,
+                   CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) >= {GOPHER_MIN_MEAN_LEN}
+                     AND CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_MEAN_LEN} AS ok_mean_len,
+                   CAST(n_punct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_PUNCT_RATIO} AS ok_punct,
+                   stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+                   CAST(n - n_distinct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_DUP_FRAC} AS ok_dup,
+                   CAST(dup_lines AS DOUBLE) / nullif(CAST(nl AS DOUBLE), 0)
+                     <= {GOPHER_MAX_DUP_LINE_FRAC} AS ok_dup_lines,
+                   CAST(dup_line_chars AS DOUBLE) / nullif(CAST(line_chars AS DOUBLE), 0)
+                     <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC} AS ok_dup_line_chars,
+                   CAST(top2_chars AS DOUBLE) / nullif(CAST(sum_len + n - 1 AS DOUBLE), 0)
+                     <= {GOPHER_MAX_TOP_2GRAM_CHAR_FRAC} AS ok_top_2gram
+            FROM m2
         )
-        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
-               n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS} AS ok_word_count,
-               CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) >= {GOPHER_MIN_MEAN_LEN}
-                 AND CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_MEAN_LEN} AS ok_mean_len,
-               CAST(n_punct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_PUNCT_RATIO} AS ok_punct,
-               stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords,
-               CAST(n - n_distinct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_DUP_FRAC} AS ok_dup,
-               (n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})
-                 AND (CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) >= {GOPHER_MIN_MEAN_LEN}
-                      AND CAST(sum_len AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_MEAN_LEN})
-                 AND (CAST(n_punct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_PUNCT_RATIO})
-                 AND (stop_hits >= {GOPHER_MIN_STOP_HITS})
-                 AND (CAST(n - n_distinct AS DOUBLE) / CAST(n AS DOUBLE) <= {GOPHER_MAX_DUP_FRAC}) AS keep
-        FROM m
+        SELECT doc_id, n_words, ok_word_count, ok_mean_len, ok_punct,
+               ok_stopwords, ok_dup, ok_dup_lines, ok_dup_line_chars,
+               ok_top_2gram,
+               ok_word_count AND ok_mean_len AND ok_punct AND ok_stopwords
+                 AND ok_dup AND ok_dup_lines AND ok_dup_line_chars
+                 AND ok_top_2gram AS keep
+        FROM fl
     """,
     "c4_sentence_filter": rf"""
         WITH st AS (

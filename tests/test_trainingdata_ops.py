@@ -686,3 +686,35 @@ def test_ivf_assign_duckdb_parity_sf0001(spark):
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
     want = sorted(tuple(r) for r in con.execute(IVF_ASSIGN_ORACLE_SQL).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_gopher_repetition_flags_planted(spark):
+    """Gopher §A1.1 repetition signals (r6): a doc that is one 3-token
+    line stamped over and over fails the duplicate-line gates; a doc
+    whose lines are distinct but share a dominant leading bigram fails
+    only the top-2gram gate; clean mostly-distinct text passes all
+    three."""
+    from ocr_award_extractor_spark.operators.textstats import (
+        gopher_quality_flags_df,
+    )
+
+    clean = ("the quick brown fox jumps over a lazy dog and " +
+             " ".join(f"word{i:02d}" for i in range(40)))
+    rep_lines = " ".join(["x1 x2 x3"] * 10)
+    # distinct lines ("p q rNN"), dominant bigram "p q" in every line
+    rep_bigram = " ".join(f"p q r{i:02d}" for i in range(20))
+    docs = spark.createDataFrame(
+        [("clean", clean), ("lines", rep_lines), ("bigram", rep_bigram)],
+        "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags_df(docs).collect()}
+
+    assert got["clean"]["ok_dup_lines"]
+    assert got["clean"]["ok_dup_line_chars"]
+    assert got["clean"]["ok_top_2gram"]
+
+    assert not got["lines"]["ok_dup_lines"]        # 9/10 lines are repeats
+    assert not got["lines"]["ok_dup_line_chars"]
+
+    assert got["bigram"]["ok_dup_lines"]           # every line distinct
+    assert not got["bigram"]["ok_top_2gram"]       # "p q" covers ~38% chars
+    assert not got["bigram"]["keep"]
