@@ -26,9 +26,21 @@ from ocr_award_extractor_spark.sources.tables import load_table
 
 # --------------------------------------------------------------- O23 summary
 def count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-by-group summary (certificate_ocr.py:461-463 analog)."""
+    """Count-by-group summary (certificate_ocr.py:461-463 analog).
+
+    Left the 50-slot driver registry in round 6 (seat traded to
+    textstats.decontaminate_ngrams): its single projection is a strict
+    subset of the still-graded avg_chars_by_lang (same GROUP BY lang,
+    same ``docs`` count column), so O23 keeps a driver-graded oracle row;
+    this spelling stays parity-pinned by pytest via
+    COUNT_BY_LANG_ORACLE_SQL (tests/test_trainingdata_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("docs"))
+
+
+COUNT_BY_LANG_ORACLE_SQL = """
+    SELECT lang, count(*) AS docs FROM documents GROUP BY lang
+"""
 
 
 # ------------------------------------------------------ O2 predicate filter
@@ -420,9 +432,6 @@ ORACLES = {
                round(sum(value), 2) AS sum_value
         FROM s GROUP BY user_id, session_seq
     """,
-    "count_by_lang": """
-        SELECT lang, count(*) AS docs FROM documents GROUP BY lang
-    """,
     # DuckDB has a native ASOF JOIN — the ideal oracle for ours
     "asof_purchase_to_click": """
         WITH p AS (
@@ -551,7 +560,6 @@ ORACLES = {
 }
 
 QUERIES = {
-    "count_by_lang": count_by_lang,
     "filter_keyword_docs": filter_keyword_docs,
     "doc_token_profile": doc_token_profile,
     "event_props": event_props,

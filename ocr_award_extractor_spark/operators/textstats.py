@@ -487,6 +487,115 @@ def c4_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- decontamination
+# Benchmark n-gram decontamination (GPT-3 appendix C / Llama-style): flag
+# training documents that share any word n-gram with a held-out benchmark
+# set, so eval answers don't leak into training data. The driver corpus
+# has no real benchmark, so membership is a deterministic md5-bucket gate
+# (same spelling as stratified_sample) and — because organic 5-gram
+# overlap in the synthetic corpus is ~1% — deterministic canary snippets
+# are planted on a bucket-gated subset of docs (same trick as
+# pii_redact's planted PII): a carrier doc appends a 5-token snippet
+# whose middle token encodes snippet_id = bucket % DECON_SID_POOL, so a
+# non-benchmark carrier is contaminated iff some benchmark carrier drew
+# the same snippet_id. Both engines apply the identical augmentation, so
+# this is a real cross-engine overlap check, not a no-op.
+DECON_N = 5             # words per shingle (real pipelines use 8-13)
+DECON_BENCH_MOD = 11    # ~9% of docs act as the "benchmark" set
+DECON_CARRIER_MOD = 3   # ~1/3 of docs carry a planted snippet
+DECON_SID_POOL = 23     # distinct snippet ids
+
+
+def _md5_bucket(col):
+    """Deterministic uniform bucket from doc_id — identical in DuckDB as
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8),
+                  16, 10).cast("long")
+
+
+def _decon_grams(tk_col, n: int):
+    """Distinct word n-grams of a token-array column. Spark's
+    sequence(1, 0) yields the DESCENDING [1, 0] — short docs must be
+    guarded to an empty array, not an inverted range."""
+    n_g = F.size(tk_col) - (n - 1)
+    return F.when(
+        n_g >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.concat_ws(" ", F.slice(tk_col, i, n)),
+        )),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate_ngrams_df(
+    docs: DataFrame,
+    n: int = DECON_N,
+    bench_grams: DataFrame | None = None,
+    plant_canaries: bool = False,
+) -> DataFrame:
+    """Per-doc benchmark-overlap verdict for every candidate doc:
+    (doc_id, n_hits = distinct benchmark n-grams present, contaminated).
+
+    ``bench_grams`` (a one-column ``g`` frame of benchmark shingles) is
+    what a real deployment passes — the eval set lives outside the
+    corpus. Without it, benchmark membership is carved out of ``docs``
+    by the deterministic md5-bucket gate (the oracle-slot configuration;
+    gated docs are then excluded from the verdicts, as eval members
+    leave a training corpus entirely). ``plant_canaries`` appends the
+    deterministic snippet augmentation (grading device — see module
+    comment) and is only set by the oracle slot.
+
+    Scale shape (the 100-TB plan): benchmark eval sets are small (MMLU +
+    friends ≈ MBs), so their distinct shingle set is built with one tiny
+    shuffle and BROADCAST; the corpus side explodes per-doc distinct
+    shingles map-side into the broadcast hash join, and the hit count is
+    a partial-agg groupBy(doc_id) — ONE real shuffle over narrow rows.
+    The final left join back to the doc universe (docs with < n tokens
+    or zero hits still get a verdict row) shuffles doc_id-only
+    projections. No driver-side state beyond the broadcast."""
+    bucket = _md5_bucket(F.col("doc_id"))
+    txt = F.col("text")
+    if plant_canaries:
+        sid = bucket % DECON_SID_POOL
+        txt = F.when(
+            bucket % DECON_CARRIER_MOD == 0,
+            F.concat(txt, F.lit(" zq0 zq1 sid"), sid, F.lit(" zq3 zq4")),
+        ).otherwise(txt)
+    is_bench = (
+        F.lit(False) if bench_grams is not None
+        else (bucket % DECON_BENCH_MOD == 0)
+    )
+    base = docs.select("doc_id", is_bench.alias("is_bench"), txt.alias("t"))
+    tk = F.filter(F.split(F.col("t"), " "), lambda x: F.length(x) > 0)
+    base = base.select("doc_id", "is_bench", tk.alias("tk"))
+    g = base.select("doc_id", "is_bench",
+                    F.explode(_decon_grams(F.col("tk"), n)).alias("g"))
+    if bench_grams is None:
+        bench_grams = g.where(F.col("is_bench")).select("g").distinct()
+    hits = (
+        g.where(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams.select("g")), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.where(~F.col("is_bench")).select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_ngrams_df over the driver documents table with the
+    planted-canary augmentation (oracle slot)."""
+    return decontaminate_ngrams_df(
+        load_table(spark, sf_dir, "documents"), plant_canaries=True)
+
+
 def _stop_sql(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
@@ -531,6 +640,44 @@ ORACLES = {
                                       c -> CAST(ascii(c) AS BIGINT))),
                    (a, b) -> (a * {FP_BASE} + b) % {FP_MOD}) AS fingerprint
         FROM h
+    """,
+    "decontaminate_ngrams": f"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     AS bucket
+            FROM documents
+        ), aug AS (
+            SELECT doc_id, bucket % {DECON_BENCH_MOD} = 0 AS is_bench,
+                   CASE WHEN bucket % {DECON_CARRIER_MOD} = 0
+                        THEN text || ' zq0 zq1 sid'
+                             || CAST(bucket % {DECON_SID_POOL} AS VARCHAR)
+                             || ' zq3 zq4'
+                        ELSE text END AS t
+            FROM b
+        ), toks AS (
+            SELECT doc_id, is_bench,
+                   list_filter(string_split(t, ' '), x -> len(x) > 0) AS tk
+            FROM aug
+        ), grams AS (
+            SELECT DISTINCT doc_id, is_bench, g FROM (
+                SELECT doc_id, is_bench,
+                       unnest(list_transform(
+                           range(1, len(tk) - {DECON_N} + 2),
+                           i -> array_to_string(tk[i:i + {DECON_N} - 1], ' '))) AS g
+                FROM toks)
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE is_bench
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_hits FROM grams
+            WHERE NOT is_bench AND g IN (SELECT g FROM bench)
+            GROUP BY doc_id
+        )
+        SELECT a.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM aug a LEFT JOIN hits h USING (doc_id)
+        WHERE NOT a.is_bench
     """,
     "stratified_sample": f"""
         WITH b AS (
@@ -668,4 +815,5 @@ QUERIES = {
     "gopher_quality_flags": gopher_quality_flags,
     "c4_sentence_filter": c4_sentence_filter,
     "stratified_sample": stratified_sample,
+    "decontaminate_ngrams": decontaminate_ngrams,
 }

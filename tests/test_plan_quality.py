@@ -336,3 +336,25 @@ def test_line_dedup_partial_agg_no_window(spark):
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_decontaminate_broadcasts_bench_grams_two_shuffles(spark):
+    """Decontamination: the benchmark shingle set is the SMALL side
+    (real eval sets are MBs) — it must broadcast into the corpus-side
+    join, leaving exactly two real shuffles in the whole plan: the bench
+    gram distinct and the per-doc hit count. The verdict join back to the
+    doc universe must not add a third (broadcast under AQE here; at scale
+    it shuffles doc_id-only projections — still not gram-wide rows)."""
+    from ocr_award_extractor_spark.operators.textstats import (
+        decontaminate_ngrams,
+    )
+
+    import re
+
+    plan = _plan(decontaminate_ngrams(spark, "/root/testdata/sf0.001"))
+    # count detail-section headers "(NN) NodeName" — one per node (the
+    # tree section spells the same nodes "NodeName (NN)")
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+    n_bcast_joins = len(re.findall(r"^\(\d+\) BroadcastHashJoin$", plan, re.M))
+    assert n_exchanges == 2, plan
+    assert n_bcast_joins >= 2, plan

@@ -718,3 +718,77 @@ def test_gopher_repetition_flags_planted(spark):
     assert got["bigram"]["ok_dup_lines"]           # every line distinct
     assert not got["bigram"]["ok_top_2gram"]       # "p q" covers ~38% chars
     assert not got["bigram"]["keep"]
+
+
+# ------------------------------------------------- benchmark decontamination
+def _decon_bucket(i: int) -> int:
+    """Python mirror of textstats._md5_bucket (md5 of the decimal string,
+    first 8 hex chars as an int)."""
+    import hashlib
+
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+
+def _find_doc_id(pred, start=0):
+    i = start
+    while True:
+        if pred(_decon_bucket(i)):
+            return i
+        i += 1
+
+
+def test_decontaminate_planted_canary(spark):
+    """Semantics on a constructed frame: a non-benchmark carrier sharing
+    its snippet id with a benchmark carrier is contaminated (exactly one
+    shared 5-gram — the snippet itself; bodies are doc-unique so boundary
+    grams never collide); a carrier with an uncovered snippet id is
+    clean; a 3-token doc still gets a verdict row; benchmark docs are
+    excluded from the output."""
+    from ocr_award_extractor_spark.operators.textstats import (
+        DECON_BENCH_MOD, DECON_CARRIER_MOD, DECON_SID_POOL,
+        decontaminate_ngrams_df,
+    )
+
+    B, C, P = DECON_BENCH_MOD, DECON_CARRIER_MOD, DECON_SID_POOL
+    a = _find_doc_id(lambda b: b % B == 0 and b % C == 0)       # bench carrier
+    sid_a = _decon_bucket(a) % P
+    b_ = _find_doc_id(
+        lambda b: b % B != 0 and b % C == 0 and b % P == sid_a, start=a + 1)
+    c = _find_doc_id(
+        lambda b: b % B != 0 and b % C == 0 and b % P != sid_a, start=a + 1)
+    d = _find_doc_id(lambda b: b % B != 0 and b % C != 0)       # non-carrier
+    e = _find_doc_id(lambda b: b % B == 0 and b % C != 0)       # bench, no snippet
+
+    def body(tag, n=8):
+        return " ".join(f"{tag}tok{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(a, body("a")), (b_, body("b")), (c, body("c")),
+         (d, "just three tokens"), (e, body("e"))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in decontaminate_ngrams_df(docs, plant_canaries=True).collect()}
+
+    assert set(got) == {b_, c, d}                 # bench docs a, e excluded
+    assert got[b_]["contaminated"] and got[b_]["n_hits"] == 1
+    assert not got[c]["contaminated"] and got[c]["n_hits"] == 0
+    assert not got[d]["contaminated"] and got[d]["n_hits"] == 0
+
+
+def test_count_by_lang_duckdb_parity_sf0001(spark):
+    """count_by_lang left the 50-slot registry in round 6 (seat traded to
+    decontaminate_ngrams) — its DuckDB parity stays pinned here, same as
+    jaccard's."""
+    import duckdb
+
+    from ocr_award_extractor_spark.operators.relational import (
+        COUNT_BY_LANG_ORACLE_SQL, count_by_lang,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["lang"], r["docs"]) for r in count_by_lang(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = set(map(tuple, con.execute(COUNT_BY_LANG_ORACLE_SQL).fetchall()))
+    assert got == want
