@@ -78,6 +78,7 @@ def run_training_data_pipeline(
     id_bits: int = 64,
     on_oversize: str = "error",
     wet_out: str | None = None,
+    decontaminate: bool = False,
 ) -> dict:
     """Run the full chain; returns {"stages": [...], "total_sec": ...}
     with per-stage rows in/out and wall time. Stage outputs land under
@@ -87,7 +88,8 @@ def run_training_data_pipeline(
         dedup_clusters_df, dedup_exact_df,
     )
     from ocr_award_extractor_spark.operators.textstats import (
-        fill_missing_lang_df, gopher_gate_df, stratified_sample_df,
+        decontaminate_ngrams_df, fill_missing_lang_df, gopher_gate_df,
+        stratified_sample_df,
     )
     from ocr_award_extractor_spark.plans.lineage import (
         read_committed, run_resumable_extraction, verify_lineage,
@@ -188,6 +190,23 @@ def run_training_data_pipeline(
         return kept, kept.count()
 
     kept, n_kept = stage("neardup_clusters", n_uniq, do_neardup)
+    n_neardup = n_kept
+
+    if decontaminate:
+        # benchmark decontamination (organic semantics — no canary
+        # planting here): the md5-gated "benchmark" carve-out stands in
+        # for the external eval set a production run would pass as
+        # bench_grams; its members leave the training corpus entirely
+        # (they are eval docs), and every remaining doc sharing a
+        # DECON_N-gram with them is dropped as contaminated
+        def do_decontam():
+            clean_ids = (decontaminate_ngrams_df(kept)
+                         .where(~F.col("contaminated")).select("doc_id"))
+            clean = kept.join(clean_ids, "doc_id", "left_semi")
+            clean = _staged(clean, os.path.join(out_dir, "decontaminated"))
+            return clean, clean.count()
+
+        kept, n_kept = stage("decontaminate", n_kept, do_decontam)
 
     def do_sample():
         picks = stratified_sample_df(kept).select("doc_id")
@@ -210,7 +229,8 @@ def run_training_data_pipeline(
         "run_id": run_id,
         "stages": stages,
         "rows": {"pages": n_pages, "extracted": n_docs, "gated": n_gated,
-                 "exact_unique": n_uniq, "neardup_unique": n_kept,
+                 "exact_unique": n_uniq, "neardup_unique": n_neardup,
+                 **({"decontaminated": n_kept} if decontaminate else {}),
                  "sampled": n_sample},
         "total_sec": round(time.monotonic() - t_start, 2),
     }
@@ -249,6 +269,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="also export the committed extraction as WET "
                         "conversion shards here and verify the read-back "
                         "count equals the committed success rows")
+    p.add_argument("--decontaminate", action="store_true",
+                   help="drop benchmark-gated docs and any doc sharing a "
+                        "word n-gram with them (organic semantics; the "
+                        "md5 gate stands in for an external eval set)")
     args = p.parse_args(argv)
 
     from ocr_award_extractor_spark.config import get_spark
@@ -265,7 +289,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, pages, args.output, args.run_id,
             n_splits=args.n_splits, n_batches=args.n_batches,
             id_bits=args.id_bits, on_oversize=args.on_oversize,
-            wet_out=args.wet_out)
+            wet_out=args.wet_out, decontaminate=args.decontaminate)
         print(json.dumps(summary))
         return 0
     finally:

@@ -182,3 +182,51 @@ def test_pipeline_with_128_bit_ids_same_story(pipeline_run, spark, tmp_path):
     docs = spark.read.parquet(str(tmp_path / "out128" / "docs"))
     assert dict(docs.dtypes)["doc_id"] == "string"
     assert {len(r["doc_id"]) for r in docs.select("doc_id").collect()} == {32}
+
+
+def test_decontaminate_stage_drops_exactly_bench_gated_docs(spark, tmp_path):
+    """--decontaminate (r6): every doc body is doc-tagged-unique (no two
+    docs share a 5-gram), so organic contamination is impossible and the
+    stage must drop EXACTLY the md5-bench-gated survivors of the dedup
+    stages (eval-set stand-ins leave the training corpus)."""
+    import hashlib
+
+    from ocr_award_extractor_spark.operators.textstats import (
+        DECON_BENCH_MOD,
+    )
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.plans.full_pipeline import (
+        run_training_data_pipeline,
+    )
+
+    # ids i*10 avoid webify's CJK injection (doc_id % 10 == 3), which
+    # could otherwise plant shared 5-grams across docs
+    rows = [{
+        "doc_id": i * 10,
+        "text": "the and " + " ".join(f"d{i}w{j}" for j in range(58)),
+        "lang": "en", "source": f"s{i}", "n_chars": 400,
+    } for i in range(40)]
+    pages_dir = str(tmp_path / "pages")
+    webify_documents(spark.createDataFrame(rows)).write.parquet(pages_dir)
+
+    out = str(tmp_path / "out")
+    summary = run_training_data_pipeline(
+        spark, spark.read.parquet(pages_dir), out, "pytest-decon",
+        n_splits=2, n_batches=1, decontaminate=True)
+
+    neardup = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "neardup_dedup")).select("doc_id").collect()}
+    clean = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "decontaminated")).select("doc_id").collect()}
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    bench = {i for i in neardup if bucket(i) % DECON_BENCH_MOD == 0}
+    assert bench, "fixed corpus must land ≥1 doc in the bench gate"
+    assert clean == neardup - bench
+
+    st = {s["stage"]: s for s in summary["stages"]}["decontaminate"]
+    assert st["rows_in"] == len(neardup) and st["rows_out"] == len(clean)
+    assert summary["rows"]["decontaminated"] == len(clean)
+    assert summary["rows"]["neardup_unique"] == len(neardup)
