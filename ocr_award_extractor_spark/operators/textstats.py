@@ -200,8 +200,7 @@ def stratified_sample_df(docs: DataFrame) -> DataFrame:
     partitionings, and engines (the gate is a pure function of the row),
     which is what a 100 TB pipeline needs for auditable subsets; it is
     also a pure scan filter — no shuffle, prunes at the source."""
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-                    16, 10).cast("long") % 100
+    bucket = _md5_bucket(F.col("doc_id")) % 100
     rate = F.lit(SAMPLE_DEFAULT_RATE)
     for lang, r in SAMPLE_RATES.items():
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)
@@ -532,6 +531,7 @@ def decontaminate_ngrams_df(
     n: int = DECON_N,
     bench_grams: DataFrame | None = None,
     plant_canaries: bool = False,
+    broadcast_bench: bool | None = None,
 ) -> DataFrame:
     """Per-doc benchmark-overlap verdict for every candidate doc:
     (doc_id, n_hits = distinct benchmark n-grams present, contaminated).
@@ -553,16 +553,24 @@ def decontaminate_ngrams_df(
     The final left join back to the doc universe (docs with < n tokens
     or zero hits still get a verdict row) shuffles doc_id-only
     projections. No driver-side state beyond the broadcast."""
+    external_bench = bench_grams is not None
     bucket = _md5_bucket(F.col("doc_id"))
     txt = F.col("text")
     if plant_canaries:
+        if n != DECON_N:
+            raise ValueError(
+                f"plant_canaries requires n == DECON_N ({DECON_N}): the "
+                f"snippet is {DECON_N} tokens, so a wider shingle would "
+                "mix doc-unique body tokens into every gram and no two "
+                "carriers would ever collide — the canary would silently "
+                "stop detecting anything")
         sid = bucket % DECON_SID_POOL
         txt = F.when(
             bucket % DECON_CARRIER_MOD == 0,
             F.concat(txt, F.lit(" zq0 zq1 sid"), sid, F.lit(" zq3 zq4")),
         ).otherwise(txt)
     is_bench = (
-        F.lit(False) if bench_grams is not None
+        F.lit(False) if external_bench
         else (bucket % DECON_BENCH_MOD == 0)
     )
     base = docs.select("doc_id", is_bench.alias("is_bench"), txt.alias("t"))
@@ -570,11 +578,25 @@ def decontaminate_ngrams_df(
     base = base.select("doc_id", "is_bench", tk.alias("tk"))
     g = base.select("doc_id", "is_bench",
                     F.explode(_decon_grams(F.col("tk"), n)).alias("g"))
-    if bench_grams is None:
+    if external_bench:
+        # callers naturally shingle multiple eval docs without dedup —
+        # n_hits is CONTRACTUALLY "distinct benchmark n-grams present",
+        # so dedup here (a no-op shuffle on an already-distinct frame)
+        bench_grams = bench_grams.select("g").distinct()
+    else:
         bench_grams = g.where(F.col("is_bench")).select("g").distinct()
+    # external eval sets are small by nature (MBs) — hint the broadcast;
+    # the self-carve-out slice's shingle set grows WITH the corpus, so
+    # there the hint stays off and AQE broadcasts only when the built
+    # side measures small at runtime (broadcast_bench overrides either
+    # way — the oracle slot pins the small-bench plan shape with True)
+    if broadcast_bench is None:
+        broadcast_bench = external_bench
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
     hits = (
         g.where(~F.col("is_bench"))
-        .join(F.broadcast(bench_grams.select("g")), "g")
+        .join(bench_grams, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -593,7 +615,8 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decontaminate_ngrams_df over the driver documents table with the
     planted-canary augmentation (oracle slot)."""
     return decontaminate_ngrams_df(
-        load_table(spark, sf_dir, "documents"), plant_canaries=True)
+        load_table(spark, sf_dir, "documents"), plant_canaries=True,
+        broadcast_bench=True)
 
 
 def _stop_sql(words) -> str:
