@@ -581,7 +581,7 @@ BENCH_QUERIES = [
     "warc_extract_roundtrip", "textstats_profile",
     "pii_redact", "bigram_topk",
     "gopher_quality_flags", "c4_sentence_filter", "stratified_sample",
-    "decontaminate_ngrams",
+    "decontaminate_ngrams", "host_cap_sample", "pack_token_shards",
     "cosine_to_query", "ann_topk_cosine",
     "lsh_buckets", "lsh_neardup_pairs", "line_dedup_corpus", "ivf_topk_cosine",
     "multimodal_features", "multimodal_thumbnails", "sessionize_events",

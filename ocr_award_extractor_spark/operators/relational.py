@@ -54,9 +54,9 @@ def filter_keyword_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------- merged per-doc projection: O7 + O9 + O17 + O19 in one slot
+# ------ merged per-doc projection: O7 + O9 + O12 + O13 + O17 + O19, one slot
 def doc_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FOUR reference operators in one oracle-checked projection (the
+    """SIX reference operators in one oracle-checked projection (the
     driver grades at most 50 queries, so near-duplicate per-doc projections
     share a slot — each column is still a distinct, citable check):
 
@@ -64,6 +64,18 @@ def doc_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       tokens whose trim is non-empty, counted;
     * ``head3``     — O9 order-preserving concat of the first 3 tokens
       (newline-join analog, certificate_ocr.py:149);
+    * ``longest_tok``/``longest_len`` — O12 argmax-by-length with the
+      pinned (len desc, token asc) tie-break (certificate_ocr.py:345-346),
+      folded in from the retired ``longest_token_per_doc`` slot in round 6.
+      The merged spelling is a per-row left-fold over the token array —
+      STRICTLY better scaled than the standalone explode+window (which
+      shuffled every token of every document to rank them); the fold's
+      first-wins argmax is the same total order, pinned by
+      tests/test_corpus_ops.py;
+    * ``first_kw``  — O13 fixed-priority first-match keyword scan
+      (certificate_ocr.py:348-355), folded in from the retired
+      ``first_keyword_hit`` slot (a pure CASE/WHEN chain — merging costs
+      nothing and keeps it driver-graded);
     * ``norm_md5``/``norm_len`` — O17 clean_text whitespace collapse
       (certificate_ocr.py:399) fingerprinted;
     * ``toks``/``n_distinct``   — O19 list(set(...)) dedupe with a PINNED
@@ -77,10 +89,31 @@ def doc_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = F.filter(F.col("t"), lambda x: F.length(F.trim(x)) > 0)
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     dt = F.array_sort(F.array_distinct(F.col("t")))
+    # O12: first-wins argmax under (len desc, tok asc) as a linear fold —
+    # acc is NULL only before the first non-empty token, and NULL OR TRUE
+    # is TRUE in SQL, so the isNull() disjunct short-circuits the NULL
+    # length comparison on the first step. NULL on a token-free doc.
+    nonblank = F.filter(F.col("t"), lambda x: F.length(x) > 0)
+    longest = F.aggregate(
+        nonblank,
+        F.lit(None).cast("string"),
+        lambda acc, x: F.when(
+            acc.isNull()
+            | (F.length(x) > F.length(acc))
+            | ((F.length(x) == F.length(acc)) & (x < acc)),
+            x,
+        ).otherwise(acc),
+    )
+    first_kw = F.lit("")
+    for kw in reversed(KEYWORD_PRIORITY):
+        first_kw = F.when(F.col("text").contains(kw), kw).otherwise(first_kw)
     return docs.select(
         "doc_id",
         F.size(kept).cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.slice(F.col("t"), 1, 3)).alias("head3"),
+        longest.alias("longest_tok"),
+        F.length(longest).cast("long").alias("longest_len"),
+        first_kw.alias("first_kw"),
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("norm_len"),
         F.concat_ws(",", dt).alias("toks"),
@@ -101,7 +134,15 @@ def avg_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- O12/O6 argmax (top-1) ranking
 def longest_token_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational spelling of the longest-line argmax (certificate_ocr.py
-    :345-346): explicit total-order tie-break (len desc, token asc)."""
+    :345-346): explicit total-order tie-break (len desc, token asc).
+
+    Left the 50-slot driver registry in round 6 (seat traded to
+    corpus.host_cap_sample): O12 stays driver-graded via the
+    ``longest_tok``/``longest_len`` columns merged into doc_token_profile
+    (per-row fold — better scaled than this explode+window, which
+    shuffles every token), and this spelling stays pinned by a pytest
+    equivalence against those columns plus LONGEST_TOKEN_ORACLE_SQL
+    parity (tests/test_corpus_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -114,6 +155,18 @@ def longest_token_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "tok", F.length("tok").cast("long").alias("tok_len"))
     )
+
+
+LONGEST_TOKEN_ORACLE_SQL = """
+    SELECT doc_id, tok, len(tok) AS tok_len FROM (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY len(tok) DESC, tok ASC) AS rn
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0
+    ) WHERE rn = 1
+"""
 
 
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,12 +249,30 @@ KEYWORD_PRIORITY = ("window", "stream", "join", "scan", "sort")
 def first_keyword_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational spelling of the ordered first-match keyword scan
     (certificate_ocr.py:348-355): a fixed-priority CASE/WHEN chain — the
-    first keyword in list order contained in the text wins."""
+    first keyword in list order contained in the text wins.
+
+    Left the 50-slot driver registry in round 6 (seat traded to
+    corpus.pack_token_shards): O13 stays driver-graded via the identical
+    ``first_kw`` column merged into doc_token_profile; this standalone
+    spelling stays pinned by pytest equivalence + FIRST_KEYWORD_ORACLE_SQL
+    parity (tests/test_corpus_ops.py)."""
     docs = load_table(spark, sf_dir, "documents")
     expr = F.lit("")
     for kw in reversed(KEYWORD_PRIORITY):
         expr = F.when(F.col("text").contains(kw), kw).otherwise(expr)
     return docs.select("doc_id", expr.alias("first_kw"))
+
+
+FIRST_KEYWORD_ORACLE_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN contains(text, '{KEYWORD_PRIORITY[0]}') THEN '{KEYWORD_PRIORITY[0]}'
+                WHEN contains(text, '{KEYWORD_PRIORITY[1]}') THEN '{KEYWORD_PRIORITY[1]}'
+                WHEN contains(text, '{KEYWORD_PRIORITY[2]}') THEN '{KEYWORD_PRIORITY[2]}'
+                WHEN contains(text, '{KEYWORD_PRIORITY[3]}') THEN '{KEYWORD_PRIORITY[3]}'
+                WHEN contains(text, '{KEYWORD_PRIORITY[4]}') THEN '{KEYWORD_PRIORITY[4]}'
+                ELSE '' END AS first_kw
+    FROM documents
+"""
 
 
 # --------------------------------------------------------- O22 JSON emit
@@ -461,29 +532,48 @@ ORACLES = {
         SELECT doc_id, lang, n_chars FROM documents
         WHERE regexp_matches(text, 'window|stream')
     """,
-    "doc_token_profile": r"""
+    # merged slot. The O12 argmax oracle is the retired slot's proven
+    # unnest+window spelling joined back per doc — NOT a list_reduce
+    # fold: DuckDB 1.0's list_reduce with a CASE lambda is
+    # NONDETERMINISTIC across vectorized batches on a full-table scan
+    # (same query flips 'column'/'customer' per run; single-vector
+    # filtered runs are stable), so it can never anchor an oracle
+    "doc_token_profile": rf"""
+        WITH lt AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id, tok,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY len(tok) DESC, tok ASC) AS rn
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE len(tok) > 0
+            ) WHERE rn = 1
+        ), l AS (
+            SELECT d.doc_id, d.text,
+                   string_split(d.text, ' ') AS t,
+                   lt.tok AS longest_tok
+            FROM documents d LEFT JOIN lt USING (doc_id)
+        )
         SELECT doc_id,
-               len(list_filter(string_split(text, ' '), x -> len(trim(x)) > 0)) AS n_tokens,
-               array_to_string(string_split(text, ' ')[1:3], ' ') AS head3,
+               len(list_filter(t, x -> len(trim(x)) > 0)) AS n_tokens,
+               array_to_string(t[1:3], ' ') AS head3,
+               longest_tok,
+               len(longest_tok) AS longest_len,
+               CASE WHEN contains(text, '{KEYWORD_PRIORITY[0]}') THEN '{KEYWORD_PRIORITY[0]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[1]}') THEN '{KEYWORD_PRIORITY[1]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[2]}') THEN '{KEYWORD_PRIORITY[2]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[3]}') THEN '{KEYWORD_PRIORITY[3]}'
+                    WHEN contains(text, '{KEYWORD_PRIORITY[4]}') THEN '{KEYWORD_PRIORITY[4]}'
+                    ELSE '' END AS first_kw,
                md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_md5,
                len(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_len,
-               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS toks,
-               len(list_distinct(string_split(text, ' '))) AS n_distinct
-        FROM documents
+               array_to_string(list_sort(list_distinct(t)), ',') AS toks,
+               len(list_distinct(t)) AS n_distinct
+        FROM l
     """,
     "avg_chars_by_lang": """
         SELECT lang, round(avg(n_chars), 4) AS avg_chars, count(*) AS docs
         FROM documents GROUP BY lang
-    """,
-    "longest_token_per_doc": """
-        SELECT doc_id, tok, len(tok) AS tok_len FROM (
-            SELECT doc_id, tok,
-                   row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY len(tok) DESC, tok ASC) AS rn
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                  FROM documents)
-            WHERE len(tok) > 0
-        ) WHERE rn = 1
     """,
     "latest_event_per_user": """
         SELECT user_id, event_id, event_type FROM (
@@ -530,16 +620,6 @@ ORACLES = {
                     o_orderdate) AS BIGINT) AS days_since_prev
         FROM orders
     """,
-    "first_keyword_hit": f"""
-        SELECT doc_id,
-               CASE WHEN contains(text, '{KEYWORD_PRIORITY[0]}') THEN '{KEYWORD_PRIORITY[0]}'
-                    WHEN contains(text, '{KEYWORD_PRIORITY[1]}') THEN '{KEYWORD_PRIORITY[1]}'
-                    WHEN contains(text, '{KEYWORD_PRIORITY[2]}') THEN '{KEYWORD_PRIORITY[2]}'
-                    WHEN contains(text, '{KEYWORD_PRIORITY[3]}') THEN '{KEYWORD_PRIORITY[3]}'
-                    WHEN contains(text, '{KEYWORD_PRIORITY[4]}') THEN '{KEYWORD_PRIORITY[4]}'
-                    ELSE '' END AS first_kw
-        FROM documents
-    """,
     "docs_to_json": """
         SELECT doc_id,
                to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS doc_json
@@ -564,13 +644,11 @@ QUERIES = {
     "doc_token_profile": doc_token_profile,
     "event_props": event_props,
     "avg_chars_by_lang": avg_chars_by_lang,
-    "longest_token_per_doc": longest_token_per_doc,
     "latest_event_per_user": latest_event_per_user,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_revenue_by_order": q3_revenue_by_order,
     "monthly_order_rollup": monthly_order_rollup,
     "running_revenue_per_customer": running_revenue_per_customer,
-    "first_keyword_hit": first_keyword_hit,
     "docs_to_json": docs_to_json,
     "sessionize_events": sessionize_events,
     "salted_skew_join_revenue": salted_skew_join_revenue,
