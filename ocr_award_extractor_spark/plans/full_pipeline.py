@@ -79,6 +79,8 @@ def run_training_data_pipeline(
     on_oversize: str = "error",
     wet_out: str | None = None,
     decontaminate: bool = False,
+    host_cap: int | None = None,
+    pack_budget: int | None = None,
 ) -> dict:
     """Run the full chain; returns {"stages": [...], "total_sec": ...}
     with per-stage rows in/out and wall time. Stage outputs land under
@@ -207,6 +209,27 @@ def run_training_data_pipeline(
             return clean, clean.count()
 
         kept, n_kept = stage("decontaminate", n_kept, do_decontam)
+    n_decontam = n_kept
+
+    if host_cap is not None:
+        # per-host cap (C4/RefinedWeb-style): the crawl's real host from
+        # the url, the production kept-only spelling (verdict=False —
+        # every window WindowGroupLimit map-side top-k). The kept-id set
+        # is at most hosts×cap rows, so the semi join back broadcasts
+        from ocr_award_extractor_spark.operators.corpus import (
+            host_cap_sample_df,
+        )
+
+        def do_host_cap():
+            kept_ids = host_cap_sample_df(
+                kept, cap=host_cap,
+                host=F.expr("parse_url(url, 'HOST')"),
+                verdict=False).select("doc_id")
+            capped = kept.join(F.broadcast(kept_ids), "doc_id", "left_semi")
+            capped = _staged(capped, os.path.join(out_dir, "host_capped"))
+            return capped, capped.count()
+
+        kept, n_kept = stage("host_cap", n_kept, do_host_cap)
 
     def do_sample():
         picks = stratified_sample_df(kept).select("doc_id")
@@ -214,7 +237,24 @@ def run_training_data_pipeline(
         sample = _staged(sample, os.path.join(out_dir, "sample"))
         return sample, sample.count()
 
-    _, n_sample = stage("stratified_sample", n_kept, do_sample)
+    sample, n_sample = stage("stratified_sample", n_kept, do_sample)
+
+    n_shards = None
+    if pack_budget is not None:
+        # training-shard packing over the final sample: deterministic
+        # (md5 bucket, doc_id) stream order, token-budget cuts; the
+        # assignment table is the loader's manifest
+        from ocr_award_extractor_spark.operators.corpus import (
+            pack_token_shards_df,
+        )
+
+        def do_pack():
+            shards = pack_token_shards_df(sample, budget=pack_budget)
+            shards = _staged(shards, os.path.join(out_dir, "shards"))
+            return shards, shards.count()
+
+        shards, _ = stage("pack_shards", n_sample, do_pack)
+        n_shards = shards.agg(F.max("shard")).collect()[0][0] + 1
 
     def do_audit():
         anomalies = verify_lineage(spark, extract_dir).count()
@@ -230,8 +270,10 @@ def run_training_data_pipeline(
         "stages": stages,
         "rows": {"pages": n_pages, "extracted": n_docs, "gated": n_gated,
                  "exact_unique": n_uniq, "neardup_unique": n_neardup,
-                 **({"decontaminated": n_kept} if decontaminate else {}),
-                 "sampled": n_sample},
+                 **({"decontaminated": n_decontam} if decontaminate else {}),
+                 **({"host_capped": n_kept} if host_cap is not None else {}),
+                 "sampled": n_sample,
+                 **({"shards": n_shards} if pack_budget is not None else {})},
         "total_sec": round(time.monotonic() - t_start, 2),
     }
 
@@ -273,6 +315,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop benchmark-gated docs and any doc sharing a "
                         "word n-gram with them (organic semantics; the "
                         "md5 gate stands in for an external eval set)")
+    p.add_argument("--host-cap", type=int, default=None,
+                   help="keep at most this many docs per url host "
+                        "(deterministic md5 order; salted two-level rank "
+                        "for oversize hosts)")
+    p.add_argument("--pack-budget", type=int, default=None,
+                   help="pack the final sample into training shards of "
+                        "this many tokens (deterministic stream order)")
     args = p.parse_args(argv)
 
     from ocr_award_extractor_spark.config import get_spark
@@ -289,7 +338,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, pages, args.output, args.run_id,
             n_splits=args.n_splits, n_batches=args.n_batches,
             id_bits=args.id_bits, on_oversize=args.on_oversize,
-            wet_out=args.wet_out, decontaminate=args.decontaminate)
+            wet_out=args.wet_out, decontaminate=args.decontaminate,
+            host_cap=args.host_cap, pack_budget=args.pack_budget)
         print(json.dumps(summary))
         return 0
     finally:

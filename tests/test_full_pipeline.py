@@ -230,3 +230,69 @@ def test_decontaminate_stage_drops_exactly_bench_gated_docs(spark, tmp_path):
     assert st["rows_in"] == len(neardup) and st["rows_out"] == len(clean)
     assert summary["rows"]["decontaminated"] == len(clean)
     assert summary["rows"]["neardup_unique"] == len(neardup)
+
+
+def test_host_cap_and_pack_stages(spark, tmp_path):
+    """--host-cap / --pack-budget (r6): the cap stage keeps exactly the
+    first `cap` docs per url host under the (md5 bucket, doc_id) order
+    (checked against an independent naive window over the staged
+    neardup table), the sample stays inside the capped set, and the
+    shard manifest is the exclusive token cumsum with the reported
+    shard count."""
+    import hashlib
+
+    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.plans.full_pipeline import (
+        run_training_data_pipeline,
+    )
+
+    # 40 unique-word docs over TWO sources → hosts s0.example/s1.example
+    # carry ~20 docs each, so cap=5 bites on both (ids i*10 avoid the
+    # CJK injection branch)
+    rows = [{
+        "doc_id": i * 10,
+        "text": "the and " + " ".join(f"h{i}w{j}" for j in range(58)),
+        "lang": "en", "source": f"s{i % 2}", "n_chars": 400,
+    } for i in range(40)]
+    pages_dir = str(tmp_path / "pages")
+    webify_documents(spark.createDataFrame(rows)).write.parquet(pages_dir)
+
+    out = str(tmp_path / "out")
+    summary = run_training_data_pipeline(
+        spark, spark.read.parquet(pages_dir), out, "pytest-cap",
+        n_splits=2, n_batches=1, host_cap=5, pack_budget=64)
+
+    neardup = spark.read.parquet(os.path.join(out, "neardup_dedup"))
+    capped = spark.read.parquet(os.path.join(out, "host_capped"))
+    assert summary["rows"]["host_capped"] == capped.count() == 10
+
+    # independent naive expectation: md5-bucket rank per host
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    by_host: dict[str, list] = {}
+    for r in neardup.select("doc_id", "url").collect():
+        host = r["url"].split("/")[2]
+        by_host.setdefault(host, []).append(r["doc_id"])
+    want = set()
+    for host, ids in by_host.items():
+        assert len(ids) > 5            # the cap must actually bite
+        want |= set(sorted(ids, key=lambda d: (bucket(d), d))[:5])
+    got = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    assert got == want
+
+    sampled = {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(out, "sample")).select("doc_id").collect()}
+    assert sampled <= got and summary["rows"]["sampled"] == len(sampled)
+
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    srows = sorted(shards.collect(), key=lambda r: r["tok_offset"])
+    assert {r["doc_id"] for r in srows} == sampled
+    run = 0
+    for r in srows:
+        assert r["tok_offset"] == run and r["shard"] == run // 64
+        run += r["n_toks"]
+    assert summary["rows"]["shards"] == srows[-1]["shard"] + 1
+    st = {s["stage"]: s for s in summary["stages"]}
+    assert st["host_cap"]["rows_out"] == 10
+    assert st["pack_shards"]["rows_in"] == len(sampled)
