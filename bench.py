@@ -574,6 +574,145 @@ def run_approx_quality(spark) -> dict:
     return out
 
 
+def ensure_corpus_scale_fixture(spark) -> str:
+    """2M-doc corpus for the corpus-shaping study, STAGED to parquet —
+    measuring over an in-flight crossJoin times the row generation, not
+    the operators (the salted plan's three branches re-run it; a real
+    caller reads a staged table, as the rehearsal pipeline stages
+    between every stage)."""
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.sources.tables import FIXTURE_DIR
+
+    path = os.path.join(FIXTURE_DIR, "corpus_scale_2m.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    log(f"generating corpus-scale fixture -> {path}")
+    docs = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .crossJoin(spark.range(400).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * 400 + F.col("rep")).alias("doc_id"),
+            "text", "source")
+    )
+    docs.repartition(64).write.mode("overwrite").parquet(path + ".tmp")
+    os.rename(path + ".tmp", path)
+    return path
+
+
+def run_corpus_scale(spark) -> dict:
+    """Skew evidence for the round-6 corpus-shaping operators: on a
+    staged 2M-doc corpus with HALF the rows collapsed into one mega-host,
+    time the naive one-window-per-host cap against the salted two-level
+    rank in BOTH output modes, and the naive single-partition global
+    cumsum against the range-partitioned prefix-sum for shard packing.
+    Equality of outputs is asserted via count + checksum aggregates —
+    these are alternative PLANS for the same function, so any divergence
+    is a bug, not noise.
+
+    Round-6 reference numbers (local[32]): pack distributed 5.2× over
+    the global window (which single-task-sorts all 2M rows); host-cap
+    verdict mode salted 1.26× (the naive plan windows the 1M-row host in
+    ONE task — the gap grows with host size); kept-only mode NEAR PARITY
+    (~1.1×) because Spark 4 plans the naive `rn <= cap` filter as a
+    map-side WindowGroupLimit top-K, defusing most of the skew before
+    the shuffle — an honest finding recorded here so the salted spelling
+    is understood as the verdict-mode / giant-host insurance, not a
+    universal win."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.operators import corpus
+    from ocr_award_extractor_spark.operators.textstats import _md5_bucket
+
+    docs = spark.read.parquet(ensure_corpus_scale_fixture(spark))
+    n = docs.count()
+    # 50% mega-host: a harsher ratio than the oracle's 25% synth_host
+    host = F.when(_md5_bucket(F.col("doc_id")) % 2 == 0,
+                  F.lit("hub.example")).otherwise(F.col("source"))
+    cap = 1000
+    out: dict = {"n_docs": n, "cap": cap}
+
+    def _chk(df, *cols):
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum(F.col(c).cast("long") % 97_003).alias(c) for c in cols]
+        r = df.agg(*aggs).collect()[0]
+        return tuple(r)
+
+    base = docs.select("doc_id", host.alias("host"),
+                       _md5_bucket(F.col("doc_id")).alias("bucket"))
+    counts = base.groupBy("host").agg(F.count(F.lit(1)).alias("n_host"))
+    naive_w = Window.partitionBy("host").orderBy("bucket", "doc_id")
+    naive_ranked = (
+        base.join(F.broadcast(counts), "host")
+        .withColumn("rn", F.row_number().over(naive_w))
+    )
+    modes = {
+        "verdict": (
+            naive_ranked.select(
+                "doc_id", "host", "n_host",
+                (F.col("rn") <= cap).alias("kept")),
+            corpus.host_cap_sample_df(docs, cap=cap, host=host),
+            ("doc_id", "kept")),
+        "kept_only": (
+            naive_ranked.where(F.col("rn") <= cap)
+            .select("doc_id", "host", "n_host"),
+            corpus.host_cap_sample_df(docs, cap=cap, host=host,
+                                      verdict=False),
+            ("doc_id",)),
+    }
+    # single-digit-second walls swing ±2x in this VM's steal windows, so
+    # each spelling is timed with the repo's scaling discipline:
+    # interleaved (ours, naive, ours, naive) and best-of-2 per spelling —
+    # no spelling's both samples can land in one throttled window
+    def _race(ours, naive, cols):
+        walls = {"ours": [], "naive": []}
+        chks = {}
+        for _ in range(2):
+            for label, df in (("ours", ours), ("naive", naive)):
+                t0 = time.monotonic()
+                chks[label] = _chk(df, *cols)
+                walls[label].append(time.monotonic() - t0)
+        assert chks["ours"] == chks["naive"], chks
+        return round(min(walls["ours"]), 2), round(min(walls["naive"]), 2)
+
+    for mode, (naive, ours, cols) in modes.items():
+        t_ours, t_naive = _race(ours, naive, cols)
+        out[f"host_cap_{mode}_salted_sec"] = t_ours
+        out[f"host_cap_{mode}_naive_window_sec"] = t_naive
+        out[f"host_cap_{mode}_speedup"] = round(t_naive / t_ours, 2)
+
+    # kept-only at a BIG cap: WindowGroupLimit keeps cap rows per mapper,
+    # so the naive plan's one mega-host task receives ~min(n_host,
+    # cap x mappers) rows — at cap=1000 that defuses the skew (naive wins
+    # ~1.2x above); at production-sized caps it degenerates back toward
+    # the whole host and the salted spelling crosses over (r6 measured
+    # 1.4x at cap=20k, 1.6x at cap=100k on this corpus)
+    big_cap = 20_000
+    naive_big = (
+        naive_ranked.where(F.col("rn") <= big_cap)
+        .select("doc_id", "host", "n_host"))
+    t_ours, t_naive = _race(
+        corpus.host_cap_sample_df(docs, cap=big_cap, host=host,
+                                  verdict=False),
+        naive_big, ("doc_id",))
+    out["host_cap_bigcap_salted_sec"] = t_ours
+    out["host_cap_bigcap_naive_window_sec"] = t_naive
+    out["host_cap_bigcap_speedup"] = round(t_naive / t_ours, 2)
+    out["host_cap_bigcap"] = big_cap
+
+    t_ours, t_naive = _race(
+        corpus.pack_token_shards_df(docs),
+        corpus.pack_token_shards_df(docs, range_bits=0),
+        ("doc_id", "tok_offset", "shard"))
+    out["pack_distributed_sec"] = t_ours
+    out["pack_global_window_sec"] = t_naive
+    out["pack_speedup"] = round(t_naive / t_ours, 2)
+    log(f"  corpus_scale: {out}")
+    return out
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_revenue_by_order",
     "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "dedup_clusters",
@@ -673,6 +812,7 @@ def main() -> None:
 
     crossover = run_crossover(spark)
     approx = run_approx_quality(spark)
+    corpus_scale = run_corpus_scale(spark)
     spark.stop()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -687,6 +827,7 @@ def main() -> None:
         "scaling": scaling,
         "lsh_crossover": crossover,
         "approx_quality": approx,
+        "corpus_scale": corpus_scale,
         "rehearsal": rehearsal,
     }
     # Full detail goes to a COMMITTED file; stdout carries one COMPACT
