@@ -110,8 +110,13 @@ def host_cap_sample_df(
     if cap < 1 or salt_parts < 1:
         raise ValueError("cap and salt_parts must be >= 1")
     h = host if host is not None else synth_host()
+    # NULL host (unparsable url) coalesces to one pseudo-host rather than
+    # riding a NULL join key: the count join below is null-UNSAFE, so a
+    # NULL group would silently VANISH from the output — in the pipeline
+    # that is dropped documents, not just a missing verdict row
     base = docs.select(
-        "doc_id", h.alias("host"), _md5_bucket(F.col("doc_id")).alias("bucket")
+        "doc_id", F.coalesce(h, F.lit("")).alias("host"),
+        _md5_bucket(F.col("doc_id")).alias("bucket")
     )
     counts = base.groupBy("host").agg(F.count(F.lit(1)).alias("n_host"))
     base = base.join(F.broadcast(counts), "host")
@@ -262,8 +267,9 @@ ORACLES = {
     "pack_token_shards": f"""
         WITH b AS (
             SELECT doc_id,
-                   CAST(len(list_filter(string_split(text, ' '),
-                                        x -> len(x) > 0)) AS BIGINT) AS n_toks,
+                   CAST(coalesce(len(list_filter(string_split(text, ' '),
+                                                 x -> len(x) > 0)), 0)
+                        AS BIGINT) AS n_toks,
                    {_bucket_sql()} AS bucket
             FROM documents
         ), o AS (

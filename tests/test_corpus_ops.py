@@ -95,6 +95,27 @@ def test_host_cap_production_path_matches_verdict_kept_set(spark):
     assert got == want
 
 
+def test_host_cap_null_host_docs_are_not_lost(spark):
+    """A NULL host (unparsable url in the pipeline path) must coalesce
+    into a pseudo-host group, not ride a NULL join key out of the
+    output — the count join is null-unsafe, so without the coalesce
+    those DOCUMENTS would silently vanish from the capped corpus."""
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.operators import corpus
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    # every 5th doc gets a NULL host; the rest keep their source
+    null_host = F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("source"))
+    out = corpus.host_cap_sample_df(docs, host=null_host).collect()
+    assert len(out) == docs.count()                      # nothing lost
+    nulls = [r for r in out if r["host"] == ""]
+    assert len(nulls) == docs.where("doc_id % 5 = 0").count()
+    assert sum(r["kept"] for r in nulls) == min(len(nulls), corpus.HOST_CAP)
+
+
 def test_host_cap_validates(spark):
     from ocr_award_extractor_spark.operators import corpus
     from ocr_award_extractor_spark.sources.tables import load_table
