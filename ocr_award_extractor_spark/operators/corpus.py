@@ -243,6 +243,124 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_shards_df(load_table(spark, sf_dir, "documents"))
 
 
+# query params that never affect page identity (tracking/session noise);
+# kept sorted, matched on the part before '='
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+)
+
+
+def canonicalize_url_expr(url) -> F.Column:
+    """Canonical form of a URL as a pure JVM-expression Column (no UDF):
+    scheme and host lowercased, a trailing ``#fragment`` removed, the
+    default port for the scheme dropped (``:80`` for http, ``:443`` for
+    https), tracking query params (utm_*, fbclid, gclid, …) removed, the
+    surviving query params SORTED so param order can't split identical
+    pages, a bare trailing ``?`` dropped, and a root path ``/`` made
+    explicit after an authority-only URL. NULL stays NULL.
+
+    This is the key a crawl dedups on BEFORE any content hashing — the
+    same document fetched as ``HTTP://Site.example/a?utm_src=x&b=1`` and
+    ``http://site.example/a?b=1`` must collide. Being a projection it
+    composes with `stream_dedup_first_seen` (canonicalize before the
+    stateful key) and `host_cap_sample_df` for free, shuffle-free."""
+    url = F.when(url == "", "").otherwise(url)   # keep '' out of the regexes
+    # strip fragment first: everything after the first '#'
+    u = F.regexp_replace(url, "#.*$", "")
+    # lowercase scheme://host[:port] (the authority; path stays cased)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+    rest_after_scheme = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    authority = F.lower(F.regexp_extract(rest_after_scheme, r"^([^/?]*)", 1))
+    # default ports: :80 on http, :443 on https
+    authority = F.when(
+        (scheme == "http") & authority.endswith(":80"),
+        F.regexp_replace(authority, ":80$", ""),
+    ).when(
+        (scheme == "https") & authority.endswith(":443"),
+        F.regexp_replace(authority, ":443$", ""),
+    ).otherwise(authority)
+    path_q = F.regexp_replace(rest_after_scheme, r"^[^/?]*", "")
+    path = F.regexp_extract(path_q, r"^([^?]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.regexp_extract(path_q, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.rlike(TRACKING_PARAM_RE)
+        & ~F.lower(p).rlike("^utm_[a-z]+$"),
+    )
+    clean_q = F.array_join(F.array_sort(params), "&")
+    has_scheme = u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    canon = F.concat(
+        scheme, F.lit("://"), authority, path,
+        F.when(clean_q == "", "").otherwise(F.concat(F.lit("?"), clean_q)),
+    )
+    # a URL without a scheme://authority (relative, mailto:, data:) is
+    # returned untouched minus the fragment — canonicalizing what we
+    # can't parse would corrupt it
+    return F.when(url.isNull(), F.lit(None).cast("string")).when(
+        has_scheme, canon).otherwise(u)
+
+
+def canonicalize_url_df(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds ``canon_url`` next to ``url_col`` — the projection callers
+    feed to url-level dedup / host caps. Not in the driver registry (50
+    seats, all taken); DuckDB parity + property tests live in
+    tests/test_corpus_ops.py, per the jaccard precedent."""
+    return df.withColumn("canon_url", canonicalize_url_expr(F.col(url_col)))
+
+
+CANONICALIZE_URL_ORACLE_SQL = rf"""
+    WITH s AS (
+        SELECT url, regexp_replace(url, '#.*$', '') AS u FROM urls
+    ), p AS (
+        SELECT url, u,
+               lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))
+                   AS scheme,
+               regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '')
+                   AS after_scheme,
+               regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                   AS has_scheme
+        FROM s
+    ), a AS (
+        SELECT url, u, scheme, has_scheme,
+               lower(regexp_extract(after_scheme, '^([^/?]*)', 1)) AS auth0,
+               regexp_replace(after_scheme, '^[^/?]*', '') AS path_q
+        FROM p
+    ), b AS (
+        SELECT url, u, scheme, has_scheme, path_q,
+               CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+                    THEN regexp_replace(auth0, ':80$', '')
+                    WHEN scheme = 'https' AND auth0 LIKE '%:443'
+                    THEN regexp_replace(auth0, ':443$', '')
+                    ELSE auth0 END AS authority,
+               CASE WHEN regexp_extract(path_q, '^([^?]*)', 1) = ''
+                    THEN '/' ELSE regexp_extract(path_q, '^([^?]*)', 1)
+               END AS path,
+               -- two DuckDB NULL traps vs Spark's '' semantics:
+               -- regexp_extract is NULL on no-match, and sorting/joining
+               -- a fully-filtered (empty) list is NULL — either would
+               -- poison the final concat for every query-less url
+               coalesce(array_to_string(list_sort(list_filter(
+                   string_split(coalesce(
+                       regexp_extract(path_q, '\?(.*)$', 1), ''), '&'),
+                   x -> len(x) > 0
+                        AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')
+                        AND NOT regexp_matches(lower(x), '^utm_[a-z]+$')
+               )), '&'), '') AS clean_q
+        FROM a
+    )
+    SELECT url,
+           CASE WHEN url IS NULL THEN NULL
+                WHEN has_scheme THEN
+                    scheme || '://' || authority || path ||
+                    CASE WHEN clean_q = '' THEN ''
+                         ELSE '?' || clean_q END
+                ELSE u END AS canon_url
+    FROM b
+"""
+
+
 ORACLES = {
     # deliberately the naive spellings: one global window per host /
     # one unpartitioned cumsum — correct at oracle scale, and exactly

@@ -212,17 +212,22 @@ def run_training_data_pipeline(
     n_decontam = n_kept
 
     if host_cap is not None:
-        # per-host cap (C4/RefinedWeb-style): the crawl's real host from
-        # the url, the production kept-only spelling (verdict=False —
-        # every window WindowGroupLimit map-side top-k). The kept-id set
-        # is at most hosts×cap rows, so the semi join back broadcasts
+        # per-host cap (C4/RefinedWeb-style): urls are canonicalized
+        # first (lowercased host, tracking params stripped — a no-op on
+        # clean urls, and the difference between one host and many for
+        # messy crawl urls), then the host parses out and the production
+        # kept-only spelling runs (verdict=False — every window
+        # WindowGroupLimit map-side top-k). The kept-id set is at most
+        # hosts×cap rows, so the semi join back broadcasts
         from ocr_award_extractor_spark.operators.corpus import (
-            host_cap_sample_df,
+            canonicalize_url_expr, host_cap_sample_df,
         )
 
         def do_host_cap():
+            canon = kept.withColumn(
+                "url", canonicalize_url_expr(F.col("url")))
             kept_ids = host_cap_sample_df(
-                kept, cap=host_cap,
+                canon, cap=host_cap,
                 host=F.expr("parse_url(url, 'HOST')"),
                 verdict=False).select("doc_id")
             capped = kept.join(F.broadcast(kept_ids), "doc_id", "left_semi")
