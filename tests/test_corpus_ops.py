@@ -324,3 +324,20 @@ def test_canonicalize_url_is_idempotent_and_collides_trackers(spark):
     df2 = corpus.canonicalize_url_df(
         df.select(F.col("canon_url").alias("url")))
     assert all(r["canon_url"] == r["url"] for r in df2.collect())
+
+
+def test_pack_shards_precomputed_n_toks_matches(spark):
+    """n_toks_col (the staged-slim fast path — skips the in-plan
+    tokenize) must produce the identical manifest."""
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.operators import corpus
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    want = _rows(corpus.pack_token_shards_df(docs))
+    n_toks = F.size(F.filter(F.split(F.col("text"), " "),
+                             lambda x: F.length(x) > 0)).cast("long")
+    slim = docs.select("doc_id", n_toks.alias("n_toks"))
+    got = _rows(corpus.pack_token_shards_df(slim, n_toks_col="n_toks"))
+    assert got == want
