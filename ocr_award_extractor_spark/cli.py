@@ -62,15 +62,20 @@ def main(argv: list[str] | None = None) -> int:
         if args.to_ts:
             docs = docs.where(F.col("warc_ts") < F.lit(args.to_ts).cast("timestamp"))
 
+        import time
+
+        t0 = time.monotonic()
         stats = run_resumable_extraction(
             spark, docs, args.output, args.run_id,
             n_splits=args.n_splits, n_batches=args.n_batches,
         )
+        extract_wall_s = round(time.monotonic() - t0, 2)
         anomalies = verify_lineage(spark, args.output).count()
         committed = read_committed(spark, args.output)
         summary = {
             "run_id": args.run_id,
             **stats,
+            "extract_wall_s": extract_wall_s,
             "committed_rows": committed.count(),
             "checksum_anomalies": anomalies,
         }

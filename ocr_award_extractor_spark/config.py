@@ -52,19 +52,16 @@ def _ensure_worker_pythonpath() -> None:
 _shipped_sessions: set[int] = set()
 
 
-def ensure_package_on_workers(spark) -> None:
-    """Make the package importable in executor Python workers of ANY
-    session — including sessions we didn't build (the external driver
-    contract). Zips the package once and ships it via addPyFile, the
-    runtime equivalent of ``spark-submit --py-files``. Idempotent per
-    session."""
-    key = id(spark)
-    if key in _shipped_sessions:
-        return
+def build_pyfiles_zip(zip_path: str | None = None) -> str:
+    """Zip the package's .py files into the artifact a cluster user ships
+    with ``spark-submit --py-files engine.zip`` (SURVEY §7 deploy line).
+    Shared by ``ensure_package_on_workers`` (runtime addPyFile analog)
+    and the literal spark-submit subprocess test."""
     import zipfile
 
     pkg_dir = os.path.join(_PKG_PARENT, "ocr_award_extractor_spark")
-    zip_path = os.path.join(_PKG_PARENT, "fixtures", "_pkg_pyfiles.zip")
+    if zip_path is None:
+        zip_path = os.path.join(_PKG_PARENT, "fixtures", "_pkg_pyfiles.zip")
     os.makedirs(os.path.dirname(zip_path), exist_ok=True)
     tmp = zip_path + ".tmp"
     with zipfile.ZipFile(tmp, "w") as zf:
@@ -74,7 +71,25 @@ def ensure_package_on_workers(spark) -> None:
                     full = os.path.join(root, fn)
                     zf.write(full, os.path.relpath(full, _PKG_PARENT))
     os.replace(tmp, zip_path)
-    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def ensure_package_on_workers(spark) -> None:
+    """Make the package importable in executor Python workers of ANY
+    session — including sessions we didn't build (the external driver
+    contract). Zips the package once and ships it via addPyFile, the
+    runtime equivalent of ``spark-submit --py-files``. Idempotent per
+    session."""
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    if not os.path.isdir(os.path.join(_PKG_PARENT, "ocr_award_extractor_spark")):
+        # already running FROM a --py-files zip (spark-submit shipped the
+        # package to driver and workers alike) — nothing to do, and the
+        # zip member path is not a writable directory anyway
+        _shipped_sessions.add(key)
+        return
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
     _shipped_sessions.add(key)
 
 
@@ -85,7 +100,13 @@ def get_spark(app_name: str = "ocr-award-extractor-spark",
     _ensure_worker_pythonpath()
     builder = SparkSession.builder.appName(app_name)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = builder.master(master or f"local[{cpus}]")
+    # Under spark-submit the driver python is launched against an
+    # already-configured gateway JVM (PYSPARK_GATEWAY_PORT is set) and
+    # --master/--deploy-mode belong to spark-submit; overriding it here
+    # would silently turn a cluster job into local[N]. Defer unless the
+    # caller asked for a master explicitly.
+    if master is not None or "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(master or f"local[{cpus}]")
     conf = dict(DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else int(cpus)
