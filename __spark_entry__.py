@@ -438,13 +438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["model_slot_extract"] = _model_slot_extract
     try:
         from ocr_award_extractor_spark.operators import (
-            corpus, dedup, multimodal, similarity, textstats,
+            corpus, dedup, linkgraph, multimodal, similarity, textstats,
         )
 
         q.update(dedup.QUERIES)
         q.update(similarity.QUERIES)
         q.update(textstats.QUERIES)
         q.update(corpus.QUERIES)
+        q.update(linkgraph.QUERIES)
         q.update(multimodal.QUERIES)
     except ImportError:
         pass
@@ -567,13 +568,14 @@ def oracle_sql() -> dict[str, str]:
     """
     try:
         from ocr_award_extractor_spark.operators import (
-            corpus, dedup, multimodal, similarity, textstats,
+            corpus, dedup, linkgraph, multimodal, similarity, textstats,
         )
 
         o.update(dedup.ORACLES)
         o.update(similarity.ORACLES)
         o.update(textstats.ORACLES)
         o.update(corpus.ORACLES)
+        o.update(linkgraph.ORACLES)
         o.update(multimodal.ORACLES)
     except ImportError:
         pass

@@ -721,7 +721,7 @@ BENCH_QUERIES = [
     "pii_redact", "bigram_topk",
     "gopher_quality_flags", "c4_sentence_filter", "stratified_sample",
     "decontaminate_ngrams", "host_cap_sample", "pack_token_shards",
-    "cosine_to_query", "ann_topk_cosine",
+    "cosine_topk_profile", "page_outlinks",
     "lsh_buckets", "lsh_neardup_pairs", "line_dedup_corpus", "ivf_topk_cosine",
     "multimodal_features", "multimodal_thumbnails", "sessionize_events",
     "salted_skew_join_revenue", "asof_purchase_to_click", "range_join_events",

@@ -178,6 +178,29 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(TOP_K)
 
 
+def cosine_topk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cosine_to_query`` + ``ann_topk_cosine`` folded into ONE driver
+    seat (round 6 — the freed seat went to linkgraph.page_outlinks):
+    every vector's cosine to the query vector PLUS its brute-force top-k
+    rank (NULL outside the top k, computed excluding the query vector
+    itself). The top-k subquery keeps the TakeOrderedAndProject shape
+    (plan-pinned on the standalone operator in tests/test_plan_quality.py)
+    and rejoins as a TOP_K-row broadcast — the merged slot stays
+    broadcast-join + scan shaped; no global sort is introduced."""
+    from pyspark.sql import Window
+
+    scored = _with_query(spark, sf_dir)
+    order = [F.col("cos_sim").desc(), F.col("vec_id").asc()]
+    topk = (
+        scored.where(F.col("vec_id") != 0)
+        .orderBy(*order).limit(TOP_K)
+        .select("vec_id",
+                F.row_number().over(Window.orderBy(*order))
+                .cast("int").alias("topk_rank"))
+    )
+    return scored.join(F.broadcast(topk), "vec_id", "left")
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs near-dup baseline: pairs with cosine ≥ threshold. The
     threshold predicate is exact (quantized ints → identical doubles)."""
@@ -1019,7 +1042,12 @@ def oracles_for_scale(sf_dir: str) -> dict[str, str]:
     the Spark side uses)."""
     return lsh_oracles(*_corpus_lsh_params(sf_dir))
 
-ORACLES = {
+# cosine_to_query / ann_topk_cosine left the 50-seat driver registry in
+# round 6 (merged into cosine_topk_profile; the seat went to
+# linkgraph.page_outlinks). Their DuckDB parity stays pytest-enforced via
+# these oracles (tests/test_trainingdata_ops.py), and both subtrees run
+# verbatim inside the merged slot.
+RETIRED_ORACLES = {
     "cosine_to_query": _Q_CTE + """
         SELECT vec_id, label, dot_q,
                CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self AS DOUBLE) * CAST(n2_query AS DOUBLE)) AS cos_sim
@@ -1030,6 +1058,23 @@ ORACLES = {
                CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self AS DOUBLE) * CAST(n2_query AS DOUBLE)) AS cos_sim
         FROM scored WHERE vec_id <> 0
         ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+}
+
+ORACLES = {
+    "cosine_topk_profile": _Q_CTE + f"""
+        , sc AS (
+            SELECT vec_id, label, dot_q,
+                   CAST(dot_q AS DOUBLE) / sqrt(CAST(n2_self AS DOUBLE) * CAST(n2_query AS DOUBLE)) AS cos_sim
+            FROM scored
+        ), topk AS (
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS topk_rank
+            FROM sc WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT {TOP_K}
+        )
+        SELECT sc.vec_id, sc.label, sc.dot_q, sc.cos_sim, topk.topk_rank
+        FROM sc LEFT JOIN topk USING (vec_id)
     """,
     "embedding_neardup_pairs": _PAIR_CTE + f"""
         SELECT va, vb,
@@ -1060,8 +1105,7 @@ ORACLES = {
 }
 
 QUERIES = {
-    "cosine_to_query": cosine_to_query,
-    "ann_topk_cosine": ann_topk_cosine,
+    "cosine_topk_profile": cosine_topk_profile,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "lsh_buckets": lsh_buckets,
     "lsh_neardup_pairs": lsh_neardup_pairs,

@@ -144,6 +144,56 @@ def injection_oracle_sql() -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# Deterministic external-link injection (round 6): K = doc_id % 4 absolute
+# links to closed-form hosts, appended as a link-dense boilerplate block
+# just before </body>. The block is pure navigation (tiny latin anchor
+# text, 100% link density) so the boilerplate strip drops it and the
+# extracted text is unchanged — same invariance contract as the award
+# prefix above. MUST stay in lockstep with outlink_oracle_sql().
+OUTLINK_MOD = 4
+N_LINK_HOSTS = 20          # == fixture_gen.N_HOSTS (the srcN.example space)
+
+
+def outlink_urls(doc_id: int) -> list[str]:
+    """The absolute outlink targets of a page, closed-form from doc_id.
+    13 is invertible mod 20, so the K ≤ 3 hosts are always distinct."""
+    return [
+        f"https://src{(doc_id * 7 + i * 13) % N_LINK_HOSTS}.example"
+        f"/ref/doc{doc_id:08d}-{i}.html"
+        for i in range(doc_id % OUTLINK_MOD)
+    ]
+
+
+def _outlink_block(doc_id: int) -> str:
+    links = outlink_urls(doc_id)
+    if not links:
+        return ""
+    items = "".join(
+        f'<li><a href="{u}">ref{i}</a></li>' for i, u in enumerate(links)
+    )
+    return f'<div class="extlinks"><ul>{items}</ul></div>'
+
+
+def outlink_oracle_sql() -> dict[str, str]:
+    """DuckDB expression fragments (over a ``documents`` row) regenerated
+    from the SAME constants as outlink_urls: link count, the ordered
+    '|'-joined target urls, and their hosts."""
+    pad = "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+    host = f"'src' || CAST((doc_id * 7 + i * 13) % {N_LINK_HOSTS} AS VARCHAR) || '.example'"
+    url = f"'https://' || {host} || '/ref/doc' || {pad} || '-' || CAST(i AS VARCHAR) || '.html'"
+    rng = f"range(0, CAST(doc_id % {OUTLINK_MOD} AS BIGINT))"
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — zero-link pages must agree on ''
+    return {
+        "n_links": f"CAST(doc_id % {OUTLINK_MOD} AS INT)",
+        "out_urls":
+            f"COALESCE(array_to_string(list_transform({rng}, i -> {url}), '|'), '')",
+        "out_hosts":
+            f"COALESCE(array_to_string(list_transform({rng}, i -> {host}), '|'), '')",
+    }
+
+
 def text_to_lines(text: str) -> list[str]:
     """Chunk whitespace tokens into fixed-width lines; a trailing runt chunk
     merges into its predecessor so every line survives the segmenter's
@@ -160,6 +210,7 @@ def wrap_row(doc_id: int, text: str, lang: str, source: str) -> dict:
     rng = random.Random(f"wrap:{doc_id}")
     lines = text_to_lines(injected_text(doc_id, text))
     html = _build_html(rng, lines, lines[0] if lines else "untitled")
+    html = html.replace("</body>", _outlink_block(doc_id) + "</body>")
     return {
         "url": f"https://{source}.example/{lang}/doc{doc_id:08d}.html",
         "warc_ts": _EPOCH + timedelta(seconds=(doc_id * 9973) % (30 * 86400)),
