@@ -145,34 +145,16 @@ def injection_oracle_sql() -> dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic external-link injection (round 6): K = doc_id % 4 absolute
-# links to closed-form hosts, appended as a link-dense boilerplate block
-# just before </body>. The block is pure navigation (tiny latin anchor
-# text, 100% link density) so the boilerplate strip drops it and the
-# extracted text is unchanged — same invariance contract as the award
-# prefix above. MUST stay in lockstep with outlink_oracle_sql().
-OUTLINK_MOD = 4
-N_LINK_HOSTS = 20          # == fixture_gen.N_HOSTS (the srcN.example space)
-
-
-def outlink_urls(doc_id: int) -> list[str]:
-    """The absolute outlink targets of a page, closed-form from doc_id.
-    13 is invertible mod 20, so the K ≤ 3 hosts are always distinct."""
-    return [
-        f"https://src{(doc_id * 7 + i * 13) % N_LINK_HOSTS}.example"
-        f"/ref/doc{doc_id:08d}-{i}.html"
-        for i in range(doc_id % OUTLINK_MOD)
-    ]
-
-
-def _outlink_block(doc_id: int) -> str:
-    links = outlink_urls(doc_id)
-    if not links:
-        return ""
-    items = "".join(
-        f'<li><a href="{u}">ref{i}</a></li>' for i, u in enumerate(links)
-    )
-    return f'<div class="extlinks"><ul>{items}</ul></div>'
+# Deterministic external-link injection (round 6): shared with the
+# fixture generator (the helpers live there — webify already imports
+# _build_html from it), so BOTH page substrates carry the same
+# closed-form absolute links for the link-graph operators. The block is
+# pure navigation (tiny latin anchor text, 100% link density) so the
+# boilerplate strip drops it and the extracted text is unchanged — same
+# invariance contract as the award prefix above.
+from ocr_award_extractor_spark.sources.fixture_gen import (  # noqa: E402
+    N_LINK_HOSTS, OUTLINK_MOD, outlink_block as _outlink_block, outlink_urls,
+)
 
 
 def outlink_oracle_sql() -> dict[str, str]:

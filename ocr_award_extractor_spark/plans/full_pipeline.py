@@ -81,6 +81,8 @@ def run_training_data_pipeline(
     decontaminate: bool = False,
     host_cap: int | None = None,
     pack_budget: int | None = None,
+    frontier_out: str | None = None,
+    frontier_host_limit: int | None = None,
 ) -> dict:
     """Run the full chain; returns {"stages": [...], "total_sec": ...}
     with per-stage rows in/out and wall time. Stage outputs land under
@@ -160,6 +162,19 @@ def run_training_data_pipeline(
             return None, n_written
 
         stage("wet_export", n_docs, do_wet)
+
+    if frontier_out is not None:
+        # next-crawl frontier from this crawl's own outlinks: absolute
+        # link targets minus the (canonicalized) urls just crawled,
+        # per-host politeness cap — the fetch list a scheduler shards
+        from ocr_award_extractor_spark.operators.linkgraph import crawl_frontier_df
+
+        def do_frontier():
+            fr = crawl_frontier_df(pages, per_host_limit=frontier_host_limit)
+            fr.write.mode("overwrite").parquet(frontier_out)
+            return None, spark.read.parquet(frontier_out).count()
+
+        stage("frontier", n_pages, do_frontier)
 
     def do_gate():
         # one-scan gate (r5 verdict #3): the old flags→ids→left-semi
@@ -327,6 +342,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-budget", type=int, default=None,
                    help="pack the final sample into training shards of "
                         "this many tokens (deterministic stream order)")
+    p.add_argument("--frontier-out", default=None,
+                   help="also emit the next-crawl frontier (outlink "
+                        "targets minus crawled urls, canonicalized) as "
+                        "parquet to this dir")
+    p.add_argument("--frontier-host-limit", type=int, default=None,
+                   help="per-host politeness cap on the frontier")
     args = p.parse_args(argv)
 
     from ocr_award_extractor_spark.config import get_spark
@@ -344,7 +365,9 @@ def main(argv: list[str] | None = None) -> int:
             n_splits=args.n_splits, n_batches=args.n_batches,
             id_bits=args.id_bits, on_oversize=args.on_oversize,
             wet_out=args.wet_out, decontaminate=args.decontaminate,
-            host_cap=args.host_cap, pack_budget=args.pack_budget)
+            host_cap=args.host_cap, pack_budget=args.pack_budget,
+            frontier_out=args.frontier_out,
+            frontier_host_limit=args.frontier_host_limit)
         print(json.dumps(summary))
         return 0
     finally:

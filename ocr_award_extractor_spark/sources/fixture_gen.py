@@ -153,6 +153,38 @@ def _wrap_main(rng: random.Random, content_lines: list[str]) -> str:
     return f"<section>{body}</section>"
 
 
+# Deterministic external-link injection (round 6): K = doc_id % 4 absolute
+# links to closed-form hosts, appended as a link-dense boilerplate block
+# just before </body> — the corpus substrate for the link-graph operators
+# (operators/linkgraph.py). Closed-form from doc_id so the page_outlinks
+# oracle can predict the exact extraction output; boilerplate-shaped so
+# the strip drops it and extracted text is unchanged (synth_document's
+# generator/extractor drift assert below enforces that on every doc).
+# MUST stay in lockstep with webify.outlink_oracle_sql().
+OUTLINK_MOD = 4
+N_LINK_HOSTS = N_HOSTS
+
+
+def outlink_urls(doc_id: int) -> list[str]:
+    """The absolute outlink targets of a page, closed-form from doc_id.
+    13 is invertible mod 20, so the K ≤ 3 hosts are always distinct."""
+    return [
+        f"https://src{(doc_id * 7 + i * 13) % N_LINK_HOSTS}.example"
+        f"/ref/doc{doc_id:08d}-{i}.html"
+        for i in range(doc_id % OUTLINK_MOD)
+    ]
+
+
+def outlink_block(doc_id: int) -> str:
+    links = outlink_urls(doc_id)
+    if not links:
+        return ""
+    items = "".join(
+        f'<li><a href="{u}">ref{i}</a></li>' for i, u in enumerate(links)
+    )
+    return f'<div class="extlinks"><ul>{items}</ul></div>'
+
+
 def _build_html(rng: random.Random, content_lines: list[str], title: str) -> str:
     nav = f"<nav>{_link_farm(rng, rng.randint(4, 8))}</nav>"
     sidebar = f'<div class="sidebar">{_link_farm(rng, rng.randint(8, 16))}</div>'
@@ -202,7 +234,9 @@ def synth_document(doc_id: int, seed: int = SEED) -> dict:
         content = content + filler
 
     title = content[0] if content else "untitled"
-    html_bytes = _build_html(rng, content, title).encode("utf-8")
+    html = _build_html(rng, content, title)
+    html_bytes = html.replace(
+        "</body>", outlink_block(doc_id) + "</body>").encode("utf-8")
 
     mal = rng.random()
     if mal < 0.015:

@@ -49,7 +49,9 @@ def ensure_fixture(n_docs: int = 500, seed: int = 42, name: str | None = None) -
     from ocr_award_extractor_spark.sources.fixture_gen import write_fixture
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
-    fname = name or f"webpages_n{n_docs}_s{seed}.parquet"
+    # v2: generator gained the deterministic outlink block (round 6) —
+    # versioned name so stale pre-injection caches can't serve
+    fname = name or f"webpages_n{n_docs}_s{seed}_v2.parquet"
     path = os.path.join(FIXTURE_DIR, fname)
     if not os.path.exists(path):
         tmp = path + ".tmp"

@@ -42,10 +42,16 @@ def test_full_pipeline_cli(tmp_path):
         "--input", pages, "--output", str(tmp_path / "out"),
         "--run-id", "cli-test", "--master", "local[4]",
         "--n-splits", "2", "--n-batches", "1",
+        "--frontier-out", str(tmp_path / "frontier"),
+        "--frontier-host-limit", "5",
     ])
     assert [s["stage"] for s in summary["stages"]] == [
-        "extract", "gopher_gate", "exact_dedup", "neardup_clusters",
-        "stratified_sample", "verify_lineage"]
+        "extract", "frontier", "gopher_gate", "exact_dedup",
+        "neardup_clusters", "stratified_sample", "verify_lineage"]
+    frontier = [s for s in summary["stages"] if s["stage"] == "frontier"][0]
+    # injected outlinks point at srcN.example/ref/... urls that are NOT
+    # in the crawled corpus, so the frontier must be non-empty
+    assert frontier["rows_out"] > 0
     rows = summary["rows"]
     # the seeded fixture plants a few error docs; those exit the pipeline
     # at the status filter, everything else flows through
