@@ -61,7 +61,9 @@ def bench_pages_path() -> str:
 
     tag = os.path.basename(SF_DIR.rstrip("/"))
     # v2: corpus regenerated after webify gained the CJK award injection
-    return os.path.join(FIXTURE_DIR, f"bench_pages_{tag}_r{REPLICATION}_v2.parquet")
+    # v3: after the deterministic outlink block (round 6) — stale
+    # pre-injection caches would make the frontier stage vacuously empty
+    return os.path.join(FIXTURE_DIR, f"bench_pages_{tag}_r{REPLICATION}_v3.parquet")
 
 
 def ensure_bench_pages(spark) -> str:

@@ -398,21 +398,77 @@ def _conj(flags: dict):
     return keep
 
 
+# --- hash-bucket linear quality classifier (CCNet/fastText-shaped) --------
+# The model-scored filter a CCNet-style pipeline runs AFTER rule gates: a
+# linear model over token features. The graded stand-in derives each
+# token's weight from its md5 bucket (deterministic, reproducible in
+# DuckDB via the proven _bucket_sql spelling); a LEARNED model rides the
+# same plumbing as a (token, weight) table through clf_score_join_df —
+# pytest-pinned equivalent to the in-row spelling. All-integer
+# accounting: clf_wsum is an exact int64 sum and the keep decision is an
+# integer compare, so there is no float rounding to diverge between
+# engines (the round(sum(double)) lesson from round 2).
+CLF_MOD = 211           # prime bucket count spreads md5 bits evenly
+CLF_HALF = 105          # centers weights on 0: w ∈ [-105, 105]
+
+
+def clf_weight_expr(tok):
+    """Deterministic per-token int64 weight — the learned-weight
+    stand-in. DuckDB twin: ('0x'||substr(md5(x),1,8))::BIGINT % 211 - 105."""
+    return _md5_bucket(tok) % CLF_MOD - CLF_HALF
+
+
+def clf_score_cols(toks):
+    """(clf_wsum BIGINT, clf_keep BOOLEAN) from a token-array column: one
+    per-row fold, no shuffle. Empty docs are rejected (no evidence)."""
+    wsum = F.aggregate(toks, F.lit(0).cast("long"),
+                       lambda a, t: a + clf_weight_expr(t))
+    keep = (F.size(toks) > 0) & (wsum >= 0)
+    return wsum, keep
+
+
+def clf_score_join_df(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """The real-model path: score docs against a learned (token, weight
+    BIGINT) table — explode tokens, broadcast the weight table (model
+    vocabularies are MBs against a 100-TB corpus), one partial-agg
+    shuffle on doc_id. Unseen tokens weigh 0 (left join + coalesce).
+    Returns (doc_id, clf_wsum, clf_keep) with the SAME contract as the
+    in-row spelling; equivalence on a fully-enumerated vocabulary is
+    pytest-pinned (tests/test_trainingdata_ops.py)."""
+    toks, _ = _gopher_precompute(F.col("text"))
+    exploded = (docs.select("doc_id", toks.alias("_toks"))
+                .select("doc_id", F.size("_toks").alias("_n"),
+                        F.explode_outer("_toks").alias("token")))
+    scored = (
+        exploded.join(F.broadcast(weights), "token", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("clf_wsum"),
+             F.max("_n").alias("_n"))
+    )
+    return scored.select(
+        "doc_id", F.col("clf_wsum").cast("long").alias("clf_wsum"),
+        ((F.col("_n") > 0) & (F.col("clf_wsum") >= 0)).alias("clf_keep"))
+
+
 def gopher_quality_flags_df(docs: DataFrame) -> DataFrame:
     """Gopher-rule document gating for any (doc_id, text) frame:
     word-count bounds, mean-word-length band, punctuation ratio, minimum
     stopword evidence, duplicate-token fraction — each as an explicit
-    flag plus the conjunction (`keep`). One projection, zero shuffle, all
-    JVM-side; ratios divide exact ints so flags are bit-identical across
-    engines."""
+    flag plus the conjunction (`keep`) — and the hash-bucket classifier
+    score (clf_wsum/clf_keep) as an INDEPENDENT model-filter signal
+    column (`keep` stays rule-only; CCNet-style pipelines threshold the
+    two separately). One projection, zero shuffle, all JVM-side; ratios
+    divide exact ints so flags are bit-identical across engines."""
     toks, n_punct = _gopher_precompute(F.col("text"))
     docs = docs.select("doc_id", toks.alias("toks"),
                        n_punct.alias("n_punct"))
     n, flags = _gopher_flags(F.col("toks"), F.col("n_punct"))
+    clf_wsum, clf_keep = clf_score_cols(F.col("toks"))
     return docs.select(
         "doc_id", n.alias("n_words"),
         *[c.alias(name) for name, c in flags.items()],
         _conj(flags).alias("keep"),
+        clf_wsum.alias("clf_wsum"), clf_keep.alias("clf_keep"),
     )
 
 
@@ -777,14 +833,28 @@ ORACLES = {
                    CAST(top2_chars AS DOUBLE) / nullif(CAST(sum_len + n - 1 AS DOUBLE), 0)
                      <= {GOPHER_MAX_TOP_2GRAM_CHAR_FRAC} AS ok_top_2gram
             FROM m2
+        ), clf AS (
+            -- hash-bucket classifier twin of clf_score_cols: exact int64
+            -- weight sum (arithmetic list_reduce — determinism-probed
+            -- spelling; the CASE-lambda trap is list_reduce ARGMAX)
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks, x ->
+                           ('0x' || substr(md5(x), 1, 8))::BIGINT
+                             % {CLF_MOD} - {CLF_HALF})),
+                       (a, b) -> a + b) AS clf_wsum,
+                   len(toks) AS clf_n
+            FROM t
         )
-        SELECT doc_id, n_words, ok_word_count, ok_mean_len, ok_punct,
-               ok_stopwords, ok_dup, ok_dup_lines, ok_dup_line_chars,
-               ok_top_2gram,
+        SELECT fl.doc_id AS doc_id, n_words, ok_word_count, ok_mean_len,
+               ok_punct, ok_stopwords, ok_dup, ok_dup_lines,
+               ok_dup_line_chars, ok_top_2gram,
                ok_word_count AND ok_mean_len AND ok_punct AND ok_stopwords
                  AND ok_dup AND ok_dup_lines AND ok_dup_line_chars
-                 AND ok_top_2gram AS keep
-        FROM fl
+                 AND ok_top_2gram AS keep,
+               clf.clf_wsum AS clf_wsum,
+               clf.clf_n > 0 AND clf.clf_wsum >= 0 AS clf_keep
+        FROM fl JOIN clf ON fl.doc_id = clf.doc_id
     """,
     "c4_sentence_filter": rf"""
         WITH st AS (

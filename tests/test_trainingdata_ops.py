@@ -792,3 +792,31 @@ def test_count_by_lang_duckdb_parity_sf0001(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
     want = set(map(tuple, con.execute(COUNT_BY_LANG_ORACLE_SQL).fetchall()))
     assert got == want
+
+
+def test_clf_join_spelling_equals_in_row(spark):
+    """A learned (token, weight) table riding clf_score_join_df must
+    reproduce the in-row hash-weight spelling exactly when the table
+    enumerates the corpus vocabulary with the same weights — pins that a
+    real model's weights can ride the explode+broadcast-join plumbing."""
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.operators import textstats as ts
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    in_row = {r["doc_id"]: (r["clf_wsum"], r["clf_keep"])
+              for r in ts.gopher_quality_flags(spark, sf)
+              .select("doc_id", "clf_wsum", "clf_keep").collect()}
+    toks, _ = ts._gopher_precompute(F.col("text"))
+    vocab = (docs.select(F.explode(toks).alias("token")).distinct()
+             .select("token", ts.clf_weight_expr(F.col("token")).alias("weight")))
+    joined = {r["doc_id"]: (r["clf_wsum"], r["clf_keep"])
+              for r in ts.clf_score_join_df(docs, vocab).collect()}
+    assert joined == in_row and len(joined) == 500
+    # unseen tokens weigh 0: an empty vocabulary scores every doc 0 and
+    # keeps every non-empty doc (0 >= 0)
+    empty = spark.createDataFrame([], "token string, weight long")
+    zeroed = ts.clf_score_join_df(docs, empty).collect()
+    assert all(r["clf_wsum"] == 0 for r in zeroed)
