@@ -52,6 +52,21 @@ def _ensure_worker_pythonpath() -> None:
 _shipped_sessions: set[int] = set()
 
 
+def find_spark_submit() -> str | None:
+    """Path of a spark-submit launcher, preferring the one bundled with
+    the installed pyspark (version-matched with the library); None when
+    neither exists. Shared by the deploy-path test and the scaling
+    study so missing-binary behavior can't drift between them."""
+    import shutil
+
+    import pyspark
+
+    bundled = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if os.path.exists(bundled):
+        return bundled
+    return shutil.which("spark-submit")
+
+
 def build_pyfiles_zip(zip_path: str | None = None) -> str:
     """Zip the package's .py files into the artifact a cluster user ships
     with ``spark-submit --py-files engine.zip`` (SURVEY §7 deploy line).

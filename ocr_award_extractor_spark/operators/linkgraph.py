@@ -199,7 +199,13 @@ def host_pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     if n == 0:
         return hosts.withColumn("rank", F.lit(0.0))
 
-    out_w = ed.groupBy("src").agg(F.sum("w").alias("outw")).cache()
+    # a host whose total out-weight is 0 (all its edges carry weight 0)
+    # must count as DANGLING, not divide by zero: dropping it from out_w
+    # both removes the 0-denominator contribution rows (inner join) and
+    # routes its mass through the left_anti dangling probe — the
+    # ranks-sum-to-1 invariant holds for any non-negative weight column
+    out_w = (ed.groupBy("src").agg(F.sum("w").alias("outw"))
+             .where(F.col("outw") > 0).cache())
     ranks = hosts.select("host", F.lit(1.0 / n).alias("rank"))
 
     prev = None

@@ -445,9 +445,15 @@ def clf_score_join_df(docs: DataFrame, weights: DataFrame) -> DataFrame:
         .agg(F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("clf_wsum"),
              F.max("_n").alias("_n"))
     )
+    # NULL-text contract parity with clf_score_cols: a NULL token array
+    # gives _n NULL (size(NULL) is NULL) and must yield clf_wsum NULL —
+    # the grouped sum of the explode_outer placeholder row would
+    # otherwise report 0 where the in-row spelling reports NULL
+    wsum = F.when(F.col("_n").isNotNull(),
+                  F.col("clf_wsum").cast("long"))
     return scored.select(
-        "doc_id", F.col("clf_wsum").cast("long").alias("clf_wsum"),
-        ((F.col("_n") > 0) & (F.col("clf_wsum") >= 0)).alias("clf_keep"))
+        "doc_id", wsum.alias("clf_wsum"),
+        ((F.col("_n") > 0) & (wsum >= 0)).alias("clf_keep"))
 
 
 def gopher_quality_flags_df(docs: DataFrame) -> DataFrame:

@@ -64,14 +64,7 @@ spark.stop()
 '''
 
 
-def _spark_submit() -> str:
-    import pyspark
-
-    bundled = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
-    return bundled if os.path.exists(bundled) else "spark-submit"
-
-
-def _one_run(submit: str, zip_path: str, job_py: str, corpus: str,
+def _one_run(submit: str, zip_path: str, job_py: str,
              cores: int, workdir: str, job_args: list[str]) -> dict:
     out = tempfile.mkdtemp(prefix=f"submit_scale_{cores}_", dir=workdir)
     env = dict(os.environ)
@@ -96,7 +89,9 @@ def _one_run(submit: str, zip_path: str, job_py: str, corpus: str,
 
 def main() -> None:
     from bench import _window_busy                     # shared busy probe
-    from ocr_award_extractor_spark.config import build_pyfiles_zip
+    from ocr_award_extractor_spark.config import (
+        build_pyfiles_zip, find_spark_submit,
+    )
 
     corpus = sys.argv[1] if len(sys.argv) > 1 else None
     if corpus is None:
@@ -116,7 +111,9 @@ def main() -> None:
     extract_py = os.path.join(workdir, "extract_job.py")
     with open(extract_py, "w", encoding="utf-8") as fh:
         fh.write(EXTRACT_JOB)
-    submit = _spark_submit()
+    submit = find_spark_submit()
+    if submit is None:
+        raise SystemExit("no spark-submit available (pyspark bin or PATH)")
 
     legs = {
         "extract": (extract_py, [corpus]),
@@ -128,7 +125,7 @@ def main() -> None:
     for round_no in (1, 2):                     # interleaved: 2,8,2,8
         for cores in WIDTHS:
             for leg, (script, args) in legs.items():
-                rec = _one_run(submit, zip_path, script, corpus, cores,
+                rec = _one_run(submit, zip_path, script, cores,
                                workdir, args)
                 rec["window_busy"] = round(_window_busy(cores), 2)
                 print(f"  round {round_no} local[{cores}] {leg}: "

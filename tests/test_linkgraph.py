@@ -272,3 +272,17 @@ def test_crawl_frontier_external_seen_set(spark):
         [("HTTPS://h1.example/x#old",)], "crawled string")
     got = [r["canon_url"] for r in crawl_frontier_df(pages, seen=seen).collect()]
     assert got == ["https://h2.example/y"]
+
+
+def test_pagerank_zero_weight_host_is_dangling(spark):
+    """A host whose edges all carry weight 0 must count as dangling
+    (review r6s4: the unguarded divide either ANSI-errored or silently
+    leaked its mass) — ranks still sum to 1."""
+    from ocr_award_extractor_spark.operators.linkgraph import host_pagerank
+
+    rows = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 0.0)]
+    df = spark.createDataFrame(rows, "src_host string, dst_host string, w double")
+    got = {r["host"]: r["rank"]
+           for r in host_pagerank(df, n_iter=6, weight_col="w").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)

@@ -19,15 +19,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _spark_submit() -> str:
-    import pyspark
+    from ocr_award_extractor_spark.config import find_spark_submit
 
-    bundled = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
-    if os.path.exists(bundled):
-        return bundled  # version-matched with the library under test
-    found = shutil.which("spark-submit")
-    if found:
-        return found
-    pytest.skip("no spark-submit available")
+    found = find_spark_submit()
+    if found is None:
+        pytest.skip("no spark-submit available")
+    return found
 
 
 def test_spark_submit_pyfiles_extract_job(tmp_path):

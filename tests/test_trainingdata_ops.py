@@ -820,3 +820,25 @@ def test_clf_join_spelling_equals_in_row(spark):
     empty = spark.createDataFrame([], "token string, weight long")
     zeroed = ts.clf_score_join_df(docs, empty).collect()
     assert all(r["clf_wsum"] == 0 for r in zeroed)
+
+
+def test_clf_join_null_text_contract(spark):
+    """NULL-text docs score clf_wsum NULL on BOTH spellings (review
+    r6s4: the join path's grouped sum reported 0 where the in-row
+    column is NULL)."""
+    from ocr_award_extractor_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string")
+    empty_vocab = spark.createDataFrame([], "token string, weight long")
+    got = {r["doc_id"]: (r["clf_wsum"], r["clf_keep"])
+           for r in ts.clf_score_join_df(docs, empty_vocab).collect()}
+    assert got[1] == (0, True)          # tokens, all unseen -> 0, keep
+    assert got[2] == (None, None)       # NULL text -> NULL, like in-row
+    assert got[3] == (0, False)         # empty text -> no evidence
+
+    flags = {r["doc_id"]: (r["clf_wsum"], r["clf_keep"])
+             for r in ts.gopher_quality_flags_df(docs)
+             .select("doc_id", "clf_wsum", "clf_keep").collect()}
+    assert flags[2] == (None, None) and flags[3][1] is False
