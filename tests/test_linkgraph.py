@@ -286,3 +286,31 @@ def test_pagerank_zero_weight_host_is_dangling(spark):
            for r in host_pagerank(df, n_iter=6, weight_col="w").collect()}
     assert set(got) == {"a", "b", "c"}
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_host_graph_and_frontier_plan_shapes(spark):
+    """host_graph: partial agg → ONE exchange → final agg (map-side
+    combine). frontier with a cap: exactly THREE exchanges (two anti-join
+    sides + the per-host window) — the distinct piggybacks the join's
+    canon_url partitioning instead of adding a fourth — and the cap runs
+    as a map-side WindowGroupLimit before the final one."""
+    import contextlib
+    import io
+
+    from ocr_award_extractor_spark.operators.linkgraph import (
+        crawl_frontier_df, host_graph_df,
+    )
+
+    def head(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue().split("\n\n")[0]
+
+    hg = head(host_graph_df(_edge_fixture(spark)))
+    assert hg.count("Exchange") == 1
+    assert hg.count("HashAggregate") == 2        # partial + final
+
+    fr = head(crawl_frontier_df(_edge_fixture(spark), per_host_limit=2))
+    assert fr.count("Exchange") == 3
+    assert fr.count("WindowGroupLimit") == 2     # map-side partial + final
