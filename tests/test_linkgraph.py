@@ -314,3 +314,38 @@ def test_host_graph_and_frontier_plan_shapes(spark):
     fr = head(crawl_frontier_df(_edge_fixture(spark), per_host_limit=2))
     assert fr.count("Exchange") == 3
     assert fr.count("WindowGroupLimit") == 2     # map-side partial + final
+
+
+def test_outlink_regex_parity_randomized(spark):
+    """2,000 seeded adversarial pages (quotes, relative links, nested
+    tags, CJK filler, unterminated hrefs, scheme look-alikes) — the JVM
+    regexp_extract_all must agree with a Python re reference on every
+    page, in one Spark job."""
+    import random
+    import re
+
+    from ocr_award_extractor_spark.operators.linkgraph import (
+        ABS_HREF_RE, page_outlinks_df,
+    )
+
+    rng = random.Random(63)
+    frag = ["<p>正文 text here</p>", '<a href="/rel1">r</a>', "плохой текст",
+            'href="ftp://no.example/x"', "<div>href=</div>", 'href="',
+            '<a href="HTTPS://Caps.example/x">c</a>',   # regex is case-exact
+            "<span>https://bare.example/notahref</span>"]
+    rows, want = [], []
+    for i in range(2000):
+        n = rng.randint(0, 4)
+        links = [f"http{'s' if rng.random() < 0.7 else ''}://h{rng.randint(0,99)}"
+                 f".example/p{rng.randint(0,9999)}" for _ in range(n)]
+        parts = [rng.choice(frag) for _ in range(rng.randint(0, 6))]
+        for u in links:
+            parts.insert(rng.randint(0, len(parts)), f'<a href="{u}">x</a>')
+        html = "<body>" + "".join(parts) + "</body>"
+        rows.append((f"u{i}", html.encode("utf-8")))
+        want.append("|".join(re.findall(ABS_HREF_RE, html)))
+    got = (page_outlinks_df(spark.createDataFrame(rows, "url string, html binary"))
+           .orderBy("url").collect())
+    got_map = {r["url"]: r["out_urls"] for r in got}
+    mismatches = [i for i in range(2000) if got_map[f"u{i}"] != want[i]]
+    assert mismatches == []
