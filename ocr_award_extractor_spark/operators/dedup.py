@@ -42,10 +42,15 @@ def _md5_int(col):
 # ----------------------------------------------------------------- exact
 def dedup_exact_df(docs: DataFrame) -> DataFrame:
     """Exact dedup on the normalized-text fingerprint for any
-    (doc_id, text) frame: one hash shuffle, keeper = min doc_id per group."""
+    (doc_id, text) frame: one hash shuffle, keeper = min doc_id per group.
+    The input is spread to session parallelism first (no-op at scale) so
+    the normalize+md5 pass isn't serialized by a single small split."""
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
+
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return (
-        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        spread_small_scans(docs.select("doc_id", "text"))
+        .select(F.md5(norm).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
     )
@@ -58,7 +63,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- shingles
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct SH_N-token shingles per doc, with their 32-bit hash."""
+    """SH_N-token shingle OCCURRENCES per doc, with their 32-bit hash.
+    Two round-7 changes, both measured at sf0.1:
+
+    * input spread to session parallelism (no-op at scale —
+      sources/tables.spread_small_scans): the explode + md5 map stage is
+      the expensive part and a single small input split serialized it;
+    * the ``array_distinct`` that deduped shingles per doc is GONE: every
+      consumer takes a min over the hashes, and min over the occurrence
+      multiset equals min over the distinct set — while array_distinct
+      alone cost ~3 s of the 3.5 s map stage (explode+md5 without it:
+      0.74 s) for 316 duplicate occurrences in 260k shingles at sf0.1.
+      The consumers' map-side partial-min aggs still collapse rows before
+      any exchange, so shuffle volume is unchanged (one row per doc)."""
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
+
     t = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(t) - (SH_N - 1))
     sh = F.transform(
@@ -68,8 +87,9 @@ def _shingles(docs: DataFrame) -> DataFrame:
         ),
     )
     return (
-        docs.where(F.size(t) >= SH_N)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+        spread_small_scans(docs.select("doc_id", "text"))
+        .where(F.size(t) >= SH_N)
+        .select("doc_id", F.explode(sh).alias("sh"))
         .select("doc_id", _md5_int(F.col("sh")).alias("v"))
     )
 
@@ -77,7 +97,17 @@ def _shingles(docs: DataFrame) -> DataFrame:
 def minhash_signature_df(docs: DataFrame) -> DataFrame:
     """MinHash signatures for any (doc_id, text) frame: K permutation-mins
     per doc. explode → groupBy with K partial-min aggregates (combines
-    map-side)."""
+    map-side, so the exchange carries one 17-column row per doc).
+
+    Round-7 note (measured negative, kept for the record): a zero-shuffle
+    per-row spelling — shingle hashes as an array<long> pre-projection +
+    16 ``array_min(transform(...))`` folds — removes the exchange but runs
+    the md5/concat work through Spark's INTERPRETED higher-order-function
+    path instead of whole-stage codegen; it measured ~20× the core-seconds
+    of this exploded spelling (3.7 s across 32 tasks vs 5.5 s on ONE task
+    at sf0.1). The shuffle here is one narrow row per doc — the codegen'd
+    Generate+Project map stage is what matters, and spread_small_scans
+    (in _shingles) parallelizes it."""
     sh = _shingles(docs)
     aggs = [
         F.min((F.lit(_MH_A[j]) * F.col("v") + F.lit(_MH_B_[j])) % F.lit(MH_P)).alias(f"s{j}")
@@ -406,7 +436,10 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate blowup is strictly the better plan (executed plan
     pinned at one Exchange). Values are identical (same votes, same
     majority, same bit weights), so the DuckDB oracle is unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
+
+    docs = spread_small_scans(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
@@ -493,9 +526,11 @@ def line_dedup_corpus_df(docs: DataFrame) -> DataFrame:
     crosses the wire once (inside the min-struct), never in a join
     payload. Three shuffles total (line-hash agg, two doc_id aggs), all
     partial-agg; no window, no skew cliff."""
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
+
     line_re = r"((?:\S+ ){%d}\S+) " % (LINE_TOKENS - 1)
     lined = F.regexp_replace(F.col("text"), line_re, "$1\n")
-    lines = docs.select(
+    lines = spread_small_scans(docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(F.split(lined, "\n")).alias("seq", "line")
     )
     totals = lines.groupBy("doc_id").agg(

@@ -182,9 +182,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     deterministic per doc_id. Stand-in for a real WARC media sidecar table;
     only doc_id is read (column pruning keeps the scan narrow)."""
     from ocr_award_extractor_spark.config import ensure_package_on_workers
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
 
     ensure_package_on_workers(docs.sparkSession)
-    return docs.select("doc_id").mapInPandas(_media_batch, MEDIA_SCHEMA)
+    return spread_small_scans(docs.select("doc_id")).mapInPandas(
+        _media_batch, MEDIA_SCHEMA)
 
 
 def multimodal_features(spark, sf_dir: str) -> DataFrame:

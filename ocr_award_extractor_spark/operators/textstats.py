@@ -256,7 +256,10 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a total order (count desc, bigram asc). explode → count (map-side
     partial agg) → TakeOrderedAndProject: the shuffle carries one row per
     distinct bigram, the top-K needs no full sort."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
+
+    docs = spread_small_scans(
+        load_table(spark, sf_dir, "documents").select("text"))
     t = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),

@@ -218,10 +218,11 @@ def webify_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, …) → pages(url, warc_ts, html,
     text, lang), deterministic per doc_id."""
     from ocr_award_extractor_spark.config import ensure_package_on_workers
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
 
     ensure_package_on_workers(docs.sparkSession)
     return (
-        docs.select("doc_id", "text", "lang", "source")
+        spread_small_scans(docs.select("doc_id", "text", "lang", "source"))
         .mapInPandas(_wrap_batch, PAGE_SCHEMA)
     )
 
@@ -257,9 +258,10 @@ def pdfify_documents(docs: DataFrame) -> DataFrame:
     """documents → PDF-payload pages (url, warc_ts, html=pdf bytes, text,
     lang); the pipeline routes on the %PDF- magic, nothing else changes."""
     from ocr_award_extractor_spark.config import ensure_package_on_workers
+    from ocr_award_extractor_spark.sources.tables import spread_small_scans
 
     ensure_package_on_workers(docs.sparkSession)
     return (
-        docs.select("doc_id", "text", "lang", "source")
+        spread_small_scans(docs.select("doc_id", "text", "lang", "source"))
         .mapInPandas(_pdf_wrap_batch, PAGE_SCHEMA)
     )

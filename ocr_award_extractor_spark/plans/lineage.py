@@ -68,6 +68,32 @@ def pending_documents(spark: SparkSession, docs: DataFrame, out_dir: str,
     )
 
 
+def _append_lineage_rows(lineage_dir: str, rows: list[tuple]) -> None:
+    """Append one parquet file of lineage rows (schema exactly
+    _LINEAGE_SCHEMA, so committed_splits' schema-pinned read sees it) via
+    tmp + atomic rename — the dotfile tmp is invisible to parquet reads,
+    so a crash mid-write leaves nothing half-committed."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(lineage_dir, exist_ok=True)
+    schema = pa.schema([
+        ("run_id", pa.string()), ("split_id", pa.int32()),
+        ("row_count", pa.int64()), ("checksum", pa.int64()),
+        ("committed_seq", pa.int32()),
+    ])
+    cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+    table = pa.table(
+        {f.name: pa.array(list(c), type=f.type)
+         for f, c in zip(schema, cols)}, schema=schema)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(lineage_dir, "." + name + ".tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(lineage_dir, name))
+
+
 def _split_checksum_rows(extracted: DataFrame) -> DataFrame:
     return extracted.groupBy("split_id").agg(
         F.count(F.lit(1)).alias("row_count"),
@@ -104,8 +130,15 @@ def run_resumable_extraction(
             # split_id is a pure function of url, so recompute it JVM-side
             # AFTER the fast columnar extraction stage instead of threading
             # it through a bespoke per-row UDF (the list-of-dicts build was
-            # the known 2× stage cost)
-            out = extract_documents(pending.drop("split_id"))
+            # the known 2× stage cost).
+            # salt_partitions (round 7): each batch reads a split-filtered
+            # slice whose scan parallelism can collapse to a couple of
+            # bin-packed splits on small staged tables — the production
+            # skew-defusing repartition (same as the flagship bench plan)
+            # spreads the slice across the session's cores either way
+            cores = spark.sparkContext.defaultParallelism
+            out = extract_documents(pending.drop("split_id"),
+                                    salt_partitions=cores)
             return out.withColumn(
                 "split_id",
                 F.pmod(F.xxhash64("url"), F.lit(n_splits)).cast("int"),
@@ -138,28 +171,70 @@ def run_resumable_extraction(
     batches = [todo[i::n_batches] for i in range(n_batches)]
     batches = [b for b in batches if b]
 
-    done_batches = 0
-    rows_written = 0
-    for seq, splits in enumerate(batches):
-        if max_batches is not None and done_batches >= max_batches:
-            break
+    def commit_batch(seq_splits) -> int:
+        """One batch: extract → partitioned data write → read-back
+        checksums → lineage append (the commit point). Returns rows
+        committed."""
+        seq, splits = seq_splits
         pending = with_split_id(docs, n_splits).where(F.col("split_id").isin(splits))
-        out = extract(pending)
+        # cluster by split_id before the partitioned write: the salted
+        # extraction stage otherwise leaves every task holding rows of
+        # every split in the batch — tasks × splits tiny files per batch
+        # (guide §6 file sizing). One narrow shuffle of the batch's
+        # output puts each split in one writer task → one file per split.
+        out = extract(pending).repartition(len(splits), "split_id")
         # dynamic partition overwrite: a rerun of a crashed batch replaces
         # stray files rather than appending duplicates
         (out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("split_id")
             .parquet(data_dir))
+        # ONE checksum job per batch: collect the per-split stats rows
+        # (≤ len(splits) rows) and write the lineage append from the
+        # collected values — the old spelling ran the read-back aggregate
+        # twice (once for the lineage write, once for the rows_written
+        # collect)
         stats = _split_checksum_rows(spark.read.parquet(data_dir)
-                                     .where(F.col("split_id").isin(splits)))
-        lineage = stats.select(
-            F.lit(run_id).alias("run_id"), F.col("split_id").cast("int"),
-            "row_count", "checksum", F.lit(seq).cast("int").alias("committed_seq"),
-        )
-        lineage.write.mode("append").parquet(lineage_dir)   # ← the commit point
-        rows_written += sum(r["row_count"] for r in stats.collect())
-        done_batches += 1
+                                     .where(F.col("split_id").isin(splits))
+                                     ).collect()
+        # the commit point: append the ≤len(splits) lineage rows as one
+        # parquet file written driver-side (tmp + atomic rename). The
+        # values are already collected for the row counter, so a whole
+        # Spark write job (~0.5 s of fixed overhead per batch) bought
+        # nothing — and concurrent Spark APPEND jobs race on the shared
+        # _temporary committer dir, while unique-named rename-committed
+        # files cannot collide. Driver state stays ≤ n_splits rows — the
+        # same budget committed_splits() already collects on resume.
+        _append_lineage_rows(
+            lineage_dir,
+            [(run_id, int(r["split_id"]), r["row_count"], r["checksum"], seq)
+             for r in stats])
+        return sum(r["row_count"] for r in stats)
+
+    done_batches = 0
+    rows_written = 0
+    if max_batches is not None:
+        # test hook (simulated crash after N commits) keeps the strictly
+        # sequential order so "the first N batches" is well-defined
+        for seq_splits in enumerate(batches):
+            if done_batches >= max_batches:
+                break
+            rows_written += commit_batch(seq_splits)
+            done_batches += 1
+    elif batches:
+        # Overlap the independent batch jobs (guide §2.6): each batch owns
+        # a DISJOINT set of split partitions and its own lineage append
+        # (unique part filenames), so two in-flight batches never touch
+        # the same files; 2 in flight back-fills one batch's commit tail
+        # with the next batch's extraction. Crash-ordering is unchanged in
+        # kind: resume is content-addressed on the lineage split set, so
+        # any committed subset — contiguous or not — resumes correctly.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(2, len(batches))) as pool:
+            for rows in pool.map(commit_batch, enumerate(batches)):
+                rows_written += rows
+                done_batches += 1
 
     return {"batches_committed": done_batches,
             "splits_total": n_splits,

@@ -44,6 +44,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# A scan smaller than this per core cannot usefully feed every core —
+# parquet splits are row-group-granular, so a small file "split" 32 ways
+# still lands every row in one task (measured: the sf0.1 documents scan
+# reports 32 partitions but 31 are empty).
+SPREAD_MIN_BYTES_PER_TASK = 8 << 20
+
+
+def spread_small_scans(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` to the session's default parallelism
+    when its ESTIMATED size is too small to feed every core — the
+    scale-adaptive fix for a small input serializing an expensive per-row
+    stage (guide §2.5 "input skew": one small file → one real task → the
+    stage runs at parallelism 1 no matter how many cores the session has).
+
+    The condition is plan-statistics bytes, NOT partition count: parquet
+    splitting is row-group-granular, so a sub-row-group file reports many
+    partitions while all rows sit in one (measured on the sf0.1 documents
+    table: 32 reported partitions, 31 empty). At production scale the
+    estimate exceeds cores × SPREAD_MIN_BYTES_PER_TASK and this is a
+    NO-OP — no shuffle is added to a real table scan. When it does fire,
+    the shuffle moves only the projected columns (callers select before
+    spreading) of a by-definition-small input, and round-robin
+    repartition is retry-deterministic (sort-before-repartition,
+    SPARK-23207). Unknown/huge estimates (joins, UDF subtrees) safely
+    skip the spread."""
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    if size >= t * SPREAD_MIN_BYTES_PER_TASK:
+        return df
+    return df.repartition(t)
+
+
 def ensure_fixture(n_docs: int = 500, seed: int = 42, name: str | None = None) -> str:
     """Generate (once) and return the path of the web-page fixture parquet."""
     from ocr_award_extractor_spark.sources.fixture_gen import write_fixture
