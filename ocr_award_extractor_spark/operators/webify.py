@@ -227,6 +227,28 @@ def webify_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def webify_urls_df(docs: DataFrame) -> DataFrame:
+    """The (url, warc_ts) columns of ``webify_documents(docs)`` as a pure
+    JVM projection: wrap_row's url and timestamp are closed-form in
+    (doc_id, lang, source), so a caller that needs only page IDENTITY —
+    the stateful-dedup staging stages exactly these two columns — can
+    skip building any html (guide §4: don't run an opaque Python stage
+    for columns a projection can produce). Byte-equality with the
+    mapInPandas output is pinned by
+    tests/test_webify.py::test_webify_urls_projection_matches_wrap_row.
+    Timestamp arithmetic is interval-based (not epoch round-trip), so the
+    value is session-timezone-independent like wrap_row's."""
+    from pyspark.sql import functions as F
+
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example/"),
+        F.col("lang"), F.lit("/doc"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"), F.lit(".html"))
+    ts = F.lit(_EPOCH) + F.make_interval(
+        secs=(F.col("doc_id") * 9973) % (30 * 86400))
+    return docs.select(url.alias("url"), ts.alias("warc_ts"))
+
+
 def pdf_wrap_row(doc_id: int, text: str, lang: str, source: str) -> dict:
     """Same document as a machine-generated PDF: one Tj show-text per
     12-word line, FlateDecode for every even doc (both decode paths).

@@ -245,3 +245,21 @@ def test_driver_corpus_text_invariants():
                OR regexp_matches(text, '[\\t\\n\\r]')
         """).fetchone()[0]
         assert bad == 0, f"{sf}: {bad} docs violate the oracle text precondition"
+
+
+def test_webify_urls_projection_matches_wrap_row(spark):
+    """webify_urls_df (the JVM closed-form of wrap_row's url/warc_ts,
+    used by the stateful-dedup staging so it never builds html) must be
+    byte/value-identical to the mapInPandas output — a drift in either
+    spelling of the url format or the timestamp arithmetic fails here."""
+    from ocr_award_extractor_spark.operators.webify import (
+        webify_documents, webify_urls_df,
+    )
+    from ocr_award_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    want = {(r["url"], r["warc_ts"])
+            for r in webify_documents(docs).select("url", "warc_ts").collect()}
+    got = {(r["url"], r["warc_ts"])
+           for r in webify_urls_df(docs).collect()}
+    assert got == want and len(got) == docs.count()
