@@ -49,7 +49,12 @@ def _ensure_worker_pythonpath() -> None:
         os.environ["PYTHONPATH"] = os.pathsep.join([_PKG_PARENT] + [p for p in parts if p])
 
 
+import threading as _threading  # noqa: E402
+
 _shipped_sessions: set[int] = set()
+# one ship per session even under concurrent driver threads (the
+# overlapped lineage batches both reach ensure_package_on_workers)
+_ship_lock = _threading.Lock()
 
 
 def find_spark_submit() -> str | None:
@@ -74,11 +79,19 @@ def build_pyfiles_zip(zip_path: str | None = None) -> str:
     and the literal spark-submit subprocess test."""
     import zipfile
 
+    import os as _os
+    import threading
+    import uuid
+
     pkg_dir = os.path.join(_PKG_PARENT, "ocr_award_extractor_spark")
     if zip_path is None:
         zip_path = os.path.join(_PKG_PARENT, "fixtures", "_pkg_pyfiles.zip")
     os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-    tmp = zip_path + ".tmp"
+    # unique tmp per builder: concurrent callers (e.g. the overlapped
+    # lineage batch jobs both triggering ensure_package_on_workers) must
+    # not fight over one tmp name — each builds its own and the atomic
+    # os.replace is last-writer-wins on identical content
+    tmp = f"{zip_path}.{_os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:6]}.tmp"
     with zipfile.ZipFile(tmp, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for fn in files:
@@ -98,14 +111,17 @@ def ensure_package_on_workers(spark) -> None:
     key = id(spark)
     if key in _shipped_sessions:
         return
-    if not os.path.isdir(os.path.join(_PKG_PARENT, "ocr_award_extractor_spark")):
-        # already running FROM a --py-files zip (spark-submit shipped the
-        # package to driver and workers alike) — nothing to do, and the
-        # zip member path is not a writable directory anyway
+    with _ship_lock:
+        if key in _shipped_sessions:
+            return
+        if not os.path.isdir(os.path.join(_PKG_PARENT, "ocr_award_extractor_spark")):
+            # already running FROM a --py-files zip (spark-submit shipped
+            # the package to driver and workers alike) — nothing to do,
+            # and the zip member path is not a writable directory anyway
+            _shipped_sessions.add(key)
+            return
+        spark.sparkContext.addPyFile(build_pyfiles_zip())
         _shipped_sessions.add(key)
-        return
-    spark.sparkContext.addPyFile(build_pyfiles_zip())
-    _shipped_sessions.add(key)
 
 
 def get_spark(app_name: str = "ocr-award-extractor-spark",

@@ -43,14 +43,15 @@ def _md5_int(col):
 def dedup_exact_df(docs: DataFrame) -> DataFrame:
     """Exact dedup on the normalized-text fingerprint for any
     (doc_id, text) frame: one hash shuffle, keeper = min doc_id per group.
-    The input is spread to session parallelism first (no-op at scale) so
-    the normalize+md5 pass isn't serialized by a single small split."""
-    from ocr_award_extractor_spark.sources.tables import spread_small_scans
 
+    Round-7 note: deliberately NOT spread_small_scans'd — one md5 per ROW
+    is too little map work to amortize the extra exchange (measured
+    0.72 s → 0.95 s at sf0.1 and +0.7 s on the rehearsal's exact-dedup
+    stage when spread; contrast _shingles, where the map stage does ~50
+    md5s per row and spreading wins 4×)."""
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return (
-        spread_small_scans(docs.select("doc_id", "text"))
-        .select(F.md5(norm).alias("fp"), "doc_id")
+        docs.select(F.md5(norm).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
     )
@@ -436,10 +437,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate blowup is strictly the better plan (executed plan
     pinned at one Exchange). Values are identical (same votes, same
     majority, same bit weights), so the DuckDB oracle is unchanged."""
-    from ocr_award_extractor_spark.sources.tables import spread_small_scans
-
-    docs = spread_small_scans(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).where(F.length("tok") > 0)
@@ -526,11 +524,9 @@ def line_dedup_corpus_df(docs: DataFrame) -> DataFrame:
     crosses the wire once (inside the min-struct), never in a join
     payload. Three shuffles total (line-hash agg, two doc_id aggs), all
     partial-agg; no window, no skew cliff."""
-    from ocr_award_extractor_spark.sources.tables import spread_small_scans
-
     line_re = r"((?:\S+ ){%d}\S+) " % (LINE_TOKENS - 1)
     lined = F.regexp_replace(F.col("text"), line_re, "$1\n")
-    lines = spread_small_scans(docs.select("doc_id", "text")).select(
+    lines = docs.select(
         "doc_id", F.posexplode(F.split(lined, "\n")).alias("seq", "line")
     )
     totals = lines.groupBy("doc_id").agg(
