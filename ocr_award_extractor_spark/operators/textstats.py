@@ -39,6 +39,24 @@ def _tokens(col):
     return F.split(col, " ")
 
 
+# every char NOT in this set is a punctuation char per PUNCT_RE — the
+# translate() spelling below counts them without a regex scan
+_PUNCT_ALLOWED = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_ ")
+
+
+def _punct_count(text):
+    """Count of PUNCT_RE matches in ``text`` as a codegen'd char-set
+    delete: PUNCT_RE is the single-char negated class [^a-zA-Z0-9_ ], so
+    the match count equals the length after translate() deletes every
+    allowed char. Measured 10× the regex spelling (0.31 s vs 3.04 s over
+    80k docs at 32 cores — a negated class costs one regex match attempt
+    per character); value-equal on any input incl. CJK/emoji/controls
+    (pinned by tests/test_trainingdata_ops.py::
+    test_punct_count_translate_equals_regex)."""
+    return F.length(F.translate(text, _PUNCT_ALLOWED, "")).cast("long")
+
+
 def _lang_votes(toks):
     """(hits, guessed): stopword votes per language over a token-array
     Column plus the guess with the pinned tie order en > fr > de > es —
@@ -95,8 +113,7 @@ def textstats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(_tokens(F.col("text")), lambda t: F.length(t) > 0).alias("toks"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
         .cast("long").alias("n_bpe_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE), F.lit(0)))
-        .cast("long").alias("n_punct"),
+        _punct_count(F.col("text")).alias("n_punct"),
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm"),
     )
     toks = F.col("toks")
@@ -299,8 +316,7 @@ def _gopher_precompute(text):
     won't inline a non-trivial expression referenced many times)."""
     return (
         F.filter(_tokens(text), lambda t: F.length(t) > 0),
-        F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), F.lit(0)))
-        .cast("long"),
+        _punct_count(text),
     )
 
 
@@ -489,30 +505,36 @@ def gopher_gate_df(docs: DataFrame) -> DataFrame:
     broadcast to a sort-merge shuffle of the whole fat table once the
     survivor-id list outgrows the broadcast threshold — the measured
     ×256 super-linearity (24 s @ 640k docs → 67 s @ 1.28M, BENCH.md).
-    Here the gate is a filter directly above the projection that
-    computes the flags, keeping every original column: one scan, zero
-    exchanges, identical survivor set (pytest-pinned against the flags
-    projection).
 
-    The OPTIMIZED plan looks redundant on purpose: Catalyst's
-    PushPredicateThroughNonJoin pushes the keep-predicate below the
-    projection and substitutes the ``_toks`` alias back in, so the
-    printed Filter contains ELEVEN copies of the tokenization
-    expression. That is plan COSMETICS, not runtime cost — Spark's
-    subexpression-elimination evaluates the repeated subtree once per
-    row, and blocking the push with a value-preserving nondeterministic
-    wrapper on ``_toks`` (tried; a detached nondeterministic column is
-    deleted by ColumnPruning first) measured ~15% SLOWER, interleaved at
-    640k rows: 25.9 s pushed vs 30.3 s blocked. Keep the simple
-    spelling; the plan-shape test pins one scan / no join / no exchange,
-    which is what actually matters at crawl scale. Per-row semantics on
-    duplicate doc_ids are intentional: each row's text is judged on its
-    own (the old left_semi spelling kept EVERY row of a doc_id if any
-    one passed — an artifact of the join, not a spec)."""
+    Round-7 spelling: the keep-conjunction is ONE scalar predicate whose
+    token array is bound a single time through a one-element
+    ``transform`` lambda — ``transform(array(toks), tk -> conj(tk))[1]``
+    — so however Catalyst moves or inlines the predicate, the tokenize
+    subtree is evaluated once per row (a lambda VARIABLE reference is a
+    bound value, not a copied subtree). The r5/r6 spelling (filter above
+    a ``_toks`` projection) relied on runtime subexpression elimination
+    across the 11 inlined copies the filter pushdown creates; the HOF
+    flags run on the interpreted path where that elimination does not
+    apply, and once the punct count stopped masking it (see
+    ``_punct_count``) the duplication was measured at 2.8×: 5.2 s pushed
+    vs 1.8 s lambda-bound over 80k staged rows at 32 cores, identical
+    survivor set. A value-preserving nondeterministic barrier was tried
+    first and TIES the pushed plan — the alias substitution into the
+    Filter happens either way; only the lambda binding removes the
+    re-evaluation. One scan, no join, no exchange (plan-pinned).
+
+    Per-row semantics on duplicate doc_ids are intentional: each row's
+    text is judged on its own (the old left_semi spelling kept EVERY row
+    of a doc_id if any one passed — an artifact of the join, not a
+    spec). NULL text yields a NULL conjunction → dropped, as before."""
     toks, n_punct = _gopher_precompute(F.col("text"))
-    tmp = docs.select("*", toks.alias("_toks"), n_punct.alias("_n_punct"))
-    _, flags = _gopher_flags(F.col("_toks"), F.col("_n_punct"))
-    return tmp.where(_conj(flags)).drop("_toks", "_n_punct")
+
+    def conj_of(tk):
+        _, flags = _gopher_flags(tk, n_punct)
+        return _conj(flags)
+
+    pred = F.element_at(F.transform(F.array(toks), conj_of), 1)
+    return docs.where(pred)
 
 
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:

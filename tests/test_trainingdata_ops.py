@@ -842,3 +842,30 @@ def test_clf_join_null_text_contract(spark):
              for r in ts.gopher_quality_flags_df(docs)
              .select("doc_id", "clf_wsum", "clf_keep").collect()}
     assert flags[2] == (None, None) and flags[3][1] is False
+
+
+def test_punct_count_translate_equals_regex(spark):
+    """_punct_count (the translate() spelling of the PUNCT_RE match
+    count, round 7) must equal the regex spelling on adversarial inputs —
+    CJK, emoji (supplementary plane), control chars, NULL, empty — and on
+    the real corpus; PUNCT_RE is a single-char negated class, so the two
+    counts coincide by construction and this pins it."""
+    from pyspark.sql import functions as F
+
+    from ocr_award_extractor_spark.operators.textstats import (
+        PUNCT_RE, _punct_count,
+    )
+
+    rows = [("第1届×!@ 获奖：张三。 a_b c\td e😀",), ("",), (None,),
+            ("plain text only",), ("!!! ??? ...",), ("\r\n\x00",),
+            ("mixed 混合 text, with; punct!",)]
+    adv = spark.createDataFrame(rows, "text string")
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("text")
+    for df in (adv, corpus):
+        bad = df.select(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(PUNCT_RE),
+                                        F.lit(0))).cast("long").alias("a"),
+            _punct_count(F.col("text")).alias("b"),
+        ).where(~F.col("a").eqNullSafe(F.col("b"))).count()
+        assert bad == 0
