@@ -322,15 +322,26 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing (or, with the old memory sink, an EMPTY table).
     out = os.path.join(base, "out")
     try:
-        q = (
-            windowed_event_counts(spark, src)
-            .writeStream
-            .foreachBatch(make_complete_snapshot_sink(out))
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(base, "ck"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        # same state-partition scoping as the dedup leg (round 7): the
+        # windowed agg's state store pays a per-partition commit per
+        # batch; the streaming query clones the session at start, so
+        # restoring the conf right after cannot affect the run
+        _key = "spark.sql.shuffle.partitions"
+        _prev = spark.conf.get(_key)
+        _cores = spark.sparkContext.defaultParallelism
+        spark.conf.set(_key, str(max(8, _cores // 4)))
+        try:
+            q = (
+                windowed_event_counts(spark, src)
+                .writeStream
+                .foreachBatch(make_complete_snapshot_sink(out))
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(base, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set(_key, _prev)
         if not q.awaitTermination(600):
             q.stop()
             raise TimeoutError(
@@ -407,8 +418,14 @@ def _stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already on disk under batch=<id>, the resumed query finishes the
     # rest, and the union read below sees the full result (the memory-sink
     # version lost pre-timeout batches on retry — ADVICE r3).
+    # state partitions scale with cores, floored at 8 (round 7): every
+    # state partition pays a delta-file commit per microbatch, so the
+    # session's full shuffle width taxes each batch; see the operator
+    # docstring for the measured 5.8 s → 3.7 s two-batch catch-up
+    cores = spark.sparkContext.defaultParallelism
     q = stream_dedup_first_seen(spark, src + "/*", ck, out,
-                                max_files_per_trigger=1)
+                                max_files_per_trigger=1,
+                                state_shuffle_partitions=max(8, cores // 4))
     if not q.awaitTermination(600):
         q.stop()
         raise TimeoutError("stateful dedup stream did not finish in 600s")
