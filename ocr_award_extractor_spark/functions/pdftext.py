@@ -52,13 +52,26 @@ _PDF_WS = b"\x00\t\n\x0c\r "
 def _skip_inline_image(content: bytes, i: int) -> int:
     """``i`` at a ``BI`` token: return the index just past the inline
     image's closing ``EI`` — the ID…EI binary data may contain parens,
-    "BT", or "ET" bytes that must never reach the block scanner. EI is
-    accepted only at a whitespace-delimited token boundary (binary that
-    merely CONTAINS the two letters scans on). No ID/EI found ⇒ resume
-    just after BI (scan-on, don't eat the tail)."""
+    "BT", or "ET" bytes that must never reach the block scanner. BOTH
+    markers are accepted only at a whitespace-delimited token boundary
+    (binary or a name like /IDTree that merely CONTAINS the two letters
+    scans on — ADVICE r6 closed the bare ``find(b"ID")``, which let a
+    stray BI plus an embedded "ID" byte pair start binary-skip mode and
+    a later token-boundary EI swallow real BT…ET blocks), and the BI→ID
+    search is capped like _skip_string so corrupt content can't rescan
+    to EOF. No token-boundary ID/EI found ⇒ resume just after BI
+    (scan-on, don't eat the tail)."""
     n = len(content)
+    limit = min(n, i + 2 + _STRING_SCAN_CAP)
     idp = content.find(b"ID", i + 2)
-    if idp < 0:
+    while 0 <= idp < limit:
+        before = content[idp - 1:idp]
+        after = content[idp + 2:idp + 3]
+        if ((not before or before in _PDF_WS)
+                and (not after or after in _PDF_WS)):
+            break
+        idp = content.find(b"ID", idp + 1)
+    else:
         return i + 2
     k = idp + 2
     if k < n and content[k:k + 1] in _PDF_WS:    # one ws byte after ID

@@ -274,7 +274,11 @@ def run_training_data_pipeline(
             return shards, shards.count()
 
         shards, _ = stage("pack_shards", n_sample, do_pack)
-        n_shards = shards.agg(F.max("shard")).collect()[0][0] + 1
+        # coalesce to -1: an empty sample has no max(shard) (NULL) and
+        # must report shards=0, not crash the CLI after every stage
+        # completed (ADVICE r6)
+        n_shards = shards.agg(
+            F.coalesce(F.max("shard"), F.lit(-1))).collect()[0][0] + 1
 
     def do_audit():
         anomalies = verify_lineage(spark, extract_dir).count()

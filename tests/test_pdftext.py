@@ -331,3 +331,20 @@ def test_structured_stream_fuzz():
         assert got == want, (content, got, want)
 
     prop()
+
+
+def test_inline_image_id_token_boundary_advice_r6():
+    """ADVICE r6: after a stray BI, an "ID" byte pair inside a NAME
+    (/IDTree) must not start binary-skip mode — the old bare find() did,
+    and a later token-boundary EI then swallowed real BT…ET blocks. With
+    the boundary check the scanner resumes right after BI and the text
+    block survives."""
+    from ocr_award_extractor_spark.functions.pdftext import (
+        _find_text_blocks, _skip_inline_image,
+    )
+
+    content = b"BI /IDTree foo nothing BT (real text) Tj ET x EI y"
+    # no token-boundary ID ⇒ resume just past BI, nothing swallowed
+    assert _skip_inline_image(content, 0) == 2
+    blocks = _find_text_blocks(content)
+    assert any(b"real text" in b for b in blocks)
