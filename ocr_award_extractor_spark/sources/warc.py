@@ -379,20 +379,29 @@ def _prepare_out_dir(out_dir: str, suffix: str, mode: str) -> None:
 
 def _write_shards(rows: DataFrame, out_dir: str, suffix: str,
                   make_record, acc, skipped) -> None:
-    """foreachPartition shard writer shared by :func:`write_wet` /
+    """Arrow-batched shard writer shared by :func:`write_wet` /
     :func:`write_warc`: one ``part-NNNNN<suffix>`` per non-empty
-    partition, each task STREAMING records into a tmp file (O(record)
+    partition, each task STREAMING records into a tmp file (O(batch)
     memory, not O(partition)) committed by os.rename, so a killed job
     leaves no half-visible shard (same idiom as plans/lineage.py; tmp
     names contain no format suffix so the read globs never see them).
-    ``make_record(row, pid, seq) -> bytes | None`` serializes one row;
-    None = skip-and-count into ``skipped``. Pure per-partition — no
-    shuffle, no driver data path; shard count = partition count."""
+    ``make_record(row, pid, seq) -> bytes | None`` serializes one
+    dict-shaped row; None = skip-and-count into ``skipped``. Pure
+    per-partition — no shuffle, no driver data path; shard count =
+    partition count.
 
-    def writer(it):
+    Round 7: this is a ``mapInPandas`` kernel forced by a count, not
+    ``foreachPartition`` — the latter runs on the RDD path, pickling
+    every row (html payloads included) one at a time across the Python
+    boundary (guide §4); Arrow batches move the same bytes columnar.
+    NULL timestamps arrive as pandas NaT and are normalized back to
+    None so the WARC-Date-omitted contract is unchanged."""
+
+    def writer(batches):
         import os
         import uuid
 
+        import pandas as pd
         from pyspark import TaskContext
 
         f = None
@@ -402,16 +411,20 @@ def _write_shards(rows: DataFrame, out_dir: str, suffix: str,
         tmp = os.path.join(out_dir,
                            f".part-{pid:05d}-{uuid.uuid4().hex[:8]}.tmp")
         try:
-            for row in it:
-                rec = make_record(row, pid, seq)
-                seq += 1
-                if rec is None:
-                    skipped.add(1)
-                    continue
-                if f is None:          # lazy: empty partitions write nothing
-                    f = open(tmp, "wb")
-                f.write(rec)
-                acc.add(1)
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    ts = row.get("warc_ts")
+                    if ts is not None and pd.isna(ts):
+                        row["warc_ts"] = None
+                    rec = make_record(row, pid, seq)
+                    seq += 1
+                    if rec is None:
+                        skipped.add(1)
+                        continue
+                    if f is None:   # lazy: empty partitions write nothing
+                        f = open(tmp, "wb")
+                    f.write(rec)
+                    acc.add(1)
             if f is not None:
                 f.close()
                 os.rename(tmp, path)
@@ -421,8 +434,12 @@ def _write_shards(rows: DataFrame, out_dir: str, suffix: str,
             if os.path.exists(tmp):
                 os.remove(tmp)
             raise
+        yield pd.DataFrame({"n": [seq]})
 
-    rows.foreachPartition(writer)
+    from ocr_award_extractor_spark.config import ensure_package_on_workers
+
+    ensure_package_on_workers(rows.sparkSession)
+    rows.mapInPandas(writer, "n long").count()
 
 
 def write_wet(extracted: DataFrame, out_dir: str,
