@@ -648,13 +648,22 @@ def lsh_neardup_pairs(spark: SparkSession, sf_dir: str,
                                        on_oversize)
     cand = _band_collisions(emb, bands, rows, max_bucket,
                             on_oversize).distinct()
-    ea = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"))
+    # norms are per-VECTOR: compute them once in the fetch projections
+    # (round 7) — the old inline _norm2(ea)/_norm2(eb) ran the
+    # interpreted 64-element fold once per candidate PAIR, i.e. 2×
+    # O(candidates) redundant folds; the integer value is identical, so
+    # the spelling stays bit-equal to the kernels (pinned by
+    # test_lsh_spellings_bit_equal) and 'aggregate(zip_with' still
+    # scores the dot JVM-side (plan-pinned)
+    ea = emb.select(F.col("vec_id").alias("va"), F.col("qe").alias("ea"),
+                    _norm2(F.col("qe")).alias("n2a"))
+    eb = emb.select(F.col("vec_id").alias("vb"), F.col("qe").alias("eb"),
+                    _norm2(F.col("qe")).alias("n2b"))
     pairs = cand.join(ea, "va").join(eb, "vb")
     # same zero-norm exclusion as the kernel (see _score_buckets_broadcast
     # docstring): try_divide makes the undefined cosine NULL, which >= drops
     cos = F.try_divide(_dot(F.col("ea"), F.col("eb")).cast("double"), F.sqrt(
-        _norm2(F.col("ea")).cast("double") * _norm2(F.col("eb")).cast("double")
+        F.col("n2a").cast("double") * F.col("n2b").cast("double")
     ))
     return (
         pairs.select("va", "vb", cos.alias("cos_sim"))
