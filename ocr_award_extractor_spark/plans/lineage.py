@@ -225,16 +225,18 @@ def run_resumable_extraction(
         # Overlap the independent batch jobs (guide §2.6): each batch owns
         # a DISJOINT set of split partitions and its own lineage append
         # (unique part filenames), so in-flight batches never touch the
-        # same files; 3 in flight back-fills one batch's commit/checksum
-        # tail with the next batches' extraction (measured on the 80k-doc
-        # rehearsal corpus, 8 batches: sequential ~18 s → 2-deep 11.7 s →
-        # 3-deep 6.8 s; past 3 the batches fight for executors per the
-        # guide's 2-3 guidance). Crash-ordering is unchanged in kind:
+        # same files; overlapping back-fills one batch's commit/checksum
+        # tail with the next batches' extraction. Measured ladder on the
+        # 80k-doc rehearsal corpus (8 batches): sequential ~18 s → 2-deep
+        # 11.7 s → 3-deep 6.8–10.1 s → 4-deep 5.9 s → 6-deep 5.7 s; the
+        # batches are commit-overhead-bound, so the guide's 2-3 guidance
+        # (sized for compute-bound jobs) undershoots — 4 captures the
+        # win, beyond it is noise. Crash-ordering is unchanged in kind:
         # resume is content-addressed on the lineage split set, so any
         # committed subset — contiguous or not — resumes correctly.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(3, len(batches))) as pool:
+        with ThreadPoolExecutor(max_workers=min(4, len(batches))) as pool:
             for rows in pool.map(commit_batch, enumerate(batches)):
                 rows_written += rows
                 done_batches += 1
