@@ -222,13 +222,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_band_keys(emb_q: DataFrame, bands: int = LSH_BANDS,
-                  rows: int = LSH_ROWS, with_vec: bool = False) -> DataFrame:
+                  rows: int = LSH_ROWS, with_vec: bool = False,
+                  passthrough: tuple[tuple[str, str], ...] = ()) -> DataFrame:
     """(vec_id, band, key) for any (vec_id, qe) frame: sign bit per plane,
     R bits packed into the band's bucket key. ``with_vec=True`` appends
     the quantized vector itself to every emitted row (still map-side —
     the duplication cost is paid by the DOWNSTREAM shuffle, which is the
     point of the shuffled-vectors scorer: B×n rows of ~536 B each, no
-    driver state).
+    driver state). ``passthrough`` is (name, spark_type) input columns
+    copied onto every emitted row map-side, so a caller that needs them
+    alongside the keys does not re-scan the table and re-join on vec_id.
 
     Arrow-batched numpy kernel: the whole batch's sign bits are ONE exact
     int64 matmul (E @ Wᵀ > 0; |e|≤10⁴·|w|≤10³·64 dims keeps every product
@@ -270,11 +273,15 @@ def lsh_band_keys(emb_q: DataFrame, bands: int = LSH_BANDS,
                 qe_bin = [row.tobytes() for row in E.astype("<i8")]
                 out["qe_bin"] = np.repeat(
                     np.array(qe_bin, dtype=object), bands)
+            for name, _typ in passthrough:
+                out[name] = np.repeat(pdf[name].to_numpy(), bands)
             yield pd.DataFrame(out)
 
     schema = "vec_id BIGINT, band INT, key BIGINT"
     if with_vec:
         schema += ", qe_bin BINARY"
+    for name, typ in passthrough:
+        schema += f", {name} {typ}"
     return emb_q.mapInPandas(kernel, schema)
 
 
@@ -283,15 +290,16 @@ def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per vector per band. At scale, near-dup search joins within
     (band, bucket) instead of all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _quant(F.col("embedding")).alias("qe")
+        "vec_id", _quant(F.col("embedding")).alias("qe"), "label"
     )
     bands, rows = _corpus_lsh_params(sf_dir)
-    keys = lsh_band_keys(emb.select("vec_id", "qe"), bands, rows)
-    return (
-        emb.select("vec_id", "label").join(keys, "vec_id")
-        .select("vec_id", "label", F.col("band").cast("long").alias("band"),
-                F.col("key").alias("bucket"))
-    )
+    # label rides through the kernel map-side (passthrough) instead of a
+    # second embeddings scan + vec_id re-join: 2 scans + BroadcastExchange
+    # + BHJ -> 1 scan, 0 joins (guide §2 — remove the shuffle outright)
+    keys = lsh_band_keys(emb, bands, rows, passthrough=(("label", "INT"),))
+    return keys.select(
+        "vec_id", "label", F.col("band").cast("long").alias("band"),
+        F.col("key").alias("bucket"))
 
 
 def _band_collisions(emb_q: DataFrame, bands: int, rows: int,

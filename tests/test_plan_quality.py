@@ -358,3 +358,26 @@ def test_decontaminate_broadcasts_bench_grams_two_shuffles(spark):
     n_bcast_joins = len(re.findall(r"^\(\d+\) BroadcastHashJoin$", plan, re.M))
     assert n_exchanges == 2, plan
     assert n_bcast_joins >= 2, plan
+
+
+def test_lsh_buckets_one_scan_no_join(spark):
+    """lsh_buckets rides `label` through the band-key kernel map-side
+    (lsh_band_keys passthrough) instead of re-scanning embeddings and
+    re-joining on vec_id: the plan must hold exactly ONE parquet scan and
+    no Join/Exchange, and every emitted (vec_id, label) must match the
+    table's own mapping with one row per (vec_id, band)."""
+    from ocr_award_extractor_spark.operators.similarity import lsh_buckets
+
+    sf = "/root/testdata/sf0.001"
+    df = lsh_buckets(spark, sf)
+    plan = _plan(df)
+    assert "Join" not in plan and "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # tree line + detail line
+
+    want = {(r["vec_id"], r["label"])
+            for r in spark.read.parquet(sf + "/embeddings.parquet")
+            .select("vec_id", "label").collect()}
+    rows = df.collect()
+    assert {(r["vec_id"], r["label"]) for r in rows} == want
+    n_bands = len({r["band"] for r in rows})
+    assert len(rows) == len(want) * n_bands and n_bands > 0
